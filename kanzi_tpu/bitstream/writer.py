@@ -1,0 +1,125 @@
+"""MSB-first bit writer, wire-compatible with the reference bitstream.
+
+The reference (src/bitstream/DefaultOutputBitStream.hpp:97-119) packs the
+n low bits of each value MSB-first into a big-endian 64-bit accumulator
+spilled to a byte buffer; the net effect is a single MSB-first bit stream.
+`close()` zero-pads the final partial byte
+(src/bitstream/DefaultOutputBitStream.cpp:141-149).
+
+This implementation reproduces the bit stream (not the accumulator): bits
+accumulate in a Python int and spill to a bytearray; bulk byte-array
+writes use numpy shifting so multi-MiB payloads stay vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BitWriter:
+    __slots__ = ("_buf", "_acc", "_nbits")
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._acc = 0       # pending bits, MSB side = oldest
+        self._nbits = 0     # number of pending bits in _acc (< 8 after flush)
+
+    def write_bit(self, bit: int) -> None:
+        self._acc = (self._acc << 1) | (bit & 1)
+        self._nbits += 1
+        if self._nbits >= 8:
+            self._flush_bytes()
+
+    def write_bits(self, value: int, n: int) -> None:
+        """Write the n low bits of value, MSB-first. n in [0, 64+]."""
+        if n == 0:
+            return
+        self._acc = (self._acc << n) | (value & ((1 << n) - 1))
+        self._nbits += n
+        if self._nbits >= 8:
+            self._flush_bytes()
+
+    def _flush_bytes(self) -> None:
+        nbytes = self._nbits >> 3
+        rem = self._nbits & 7
+        top = self._acc >> rem
+        self._buf += top.to_bytes(nbytes, "big")
+        self._acc &= (1 << rem) - 1
+        self._nbits = rem
+
+    def write_bytes(self, data) -> None:
+        """Bulk write of whole bytes (bit count = 8*len), any alignment."""
+        data = bytes(data)
+        if not data:
+            return
+        if self._nbits == 0:
+            self._buf += data
+            return
+        r = self._nbits
+        arr = np.frombuffer(data, dtype=np.uint8)
+        # carry chain: out[i] = acc_bits | arr[i] >> r ; next acc = arr[i] low r bits
+        hi = (arr >> np.uint8(r)).astype(np.uint8)
+        lo = (arr << np.uint8(8 - r)).astype(np.uint8)
+        out = np.empty(len(arr), dtype=np.uint8)
+        first = np.uint8((self._acc << (8 - r)) & 0xFF)
+        out[0] = first | hi[0]
+        if len(arr) > 1:
+            out[1:] = lo[:-1] | hi[1:]
+        self._buf += out.tobytes()
+        self._acc = int(arr[-1]) & ((1 << r) - 1)
+        # _nbits unchanged (still r pending bits)
+
+    def write_bits_array(self, values: np.ndarray, nbits: np.ndarray) -> None:
+        """Vectorized write of many (value, nbits) pairs in order.
+
+        values: uint64 array; nbits: int array (0..32 each). Produces the
+        identical stream to sequential write_bits calls.
+        """
+        values = np.asarray(values, dtype=np.uint64)
+        nbits = np.asarray(nbits, dtype=np.int64)
+        total = int(nbits.sum())
+        if total == 0:
+            return
+        # bit start offsets
+        starts = np.concatenate(([0], np.cumsum(nbits)[:-1]))
+        nbytes = (total + 7) >> 3
+        # place each value's bits into a big bit buffer via 128-bit safe math:
+        # use python-int path only when small; else chunked numpy approach.
+        # Simple robust approach: build per-value byte spans with shifts.
+        bitbuf = np.zeros(nbytes + 16, dtype=np.uint8)
+        # positions
+        for v, s, n in zip(values.tolist(), starts.tolist(), nbits.tolist()):
+            if n == 0:
+                continue
+            end = s + n
+            # write bits [s, end) of stream = n low bits of v MSB-first
+            byte0 = s >> 3
+            bitoff = s & 7
+            span = (bitoff + n + 7) >> 3
+            chunk = (v & ((1 << n) - 1)) << ((span << 3) - bitoff - n)
+            b = chunk.to_bytes(span, "big")
+            for i in range(span):
+                bitbuf[byte0 + i] |= b[i]
+        self._append_bit_run(bitbuf[:nbytes].tobytes(), total)
+
+    def _append_bit_run(self, data: bytes, nbits_total: int) -> None:
+        """Append the first nbits_total bits of data (MSB-first)."""
+        full = nbits_total >> 3
+        rem = nbits_total & 7
+        if full:
+            self.write_bytes(data[:full])
+        if rem:
+            self.write_bits(data[full] >> (8 - rem), rem)
+
+    def written(self) -> int:
+        """Bits written so far (including pending)."""
+        return 8 * len(self._buf) + self._nbits
+
+    def getvalue(self) -> bytes:
+        """Close: zero-pad last partial byte and return the byte stream."""
+        if self._nbits:
+            pad = 8 - self._nbits
+            self._acc <<= pad
+            self._nbits = 8
+            self._flush_bytes()
+        return bytes(self._buf)

@@ -1,0 +1,521 @@
+"""Block-pipeline container: header, block framing, ordered commit.
+
+Reimplements the reference L4 scheduler (src/io/CompressedOutputStream.cpp,
+CompressedInputStream.cpp) for a host-orchestrated TPU pipeline:
+
+- The byte stream is cut into fixed-size blocks (1 KiB..1 GiB).
+- Each block runs: [checksum] -> transform chain -> entropy coder into a
+  private in-memory bitstream (growable_ofixedbuf pattern, :786-788).
+- Completed blocks are committed to the shared bitstream in block order:
+  `5b (lw-3) | lw bits payload-bit-length | payload bits` (:848-864);
+  end-of-stream marker = 5+3 zero bits (:415-417).
+- File header layout: writeHeader (:277-342); parse/validate mirrors
+  CompressedInputStream::readHeader (:511-663) including the 24-bit
+  folded checksum.
+
+Block encoding is embarrassingly parallel (the reference fans out
+EncodingTasks over a thread pool); here blocks are batched to the TPU via
+kanzi_tpu.parallel when the level's kernels support it, with this module
+doing the ordered host-side gather.
+"""
+
+from __future__ import annotations
+
+import io as _pyio
+from typing import Optional
+
+import numpy as np
+
+from kanzi_tpu.bitstream import BitReader, BitWriter
+from kanzi_tpu.core import magic as magiclib
+from kanzi_tpu.core import stats
+from kanzi_tpu.core.context import Context
+from kanzi_tpu.core.errors import Error, KanziError
+from kanzi_tpu.core.events import Event, EventType, ListenerBus
+from kanzi_tpu.core.hashes import xxhash32, xxhash64
+from kanzi_tpu.entropy import factory as efactory
+from kanzi_tpu.transform import factory as tfactory
+from kanzi_tpu.transform.sequence import SKIP_MASK
+
+MAGIC = 0x4B414E5A
+FORMAT_VERSION = 6
+MIN_BLOCK_SIZE = 1024
+MAX_BLOCK_SIZE = 1024 * 1024 * 1024
+SMALL_BLOCK_SIZE = 15
+COPY_BLOCK_MASK = 0x80
+TRANSFORMS_MASK = 0x10
+MAX_CONCURRENCY = 64
+EXTRA_BUFFER_SIZE = 512
+MAX_BLOCK_ID = (1 << 31) - 1
+
+
+def _header_checksum(version: int, ck_size: int, entropy_type: int,
+                     transform_type: int, block_size: int,
+                     sz_mask: int, input_size: int) -> int:
+    """24-bit folded header checksum (writeHeader :324-341)."""
+    M = 0xFFFFFFFF
+    HASH = 0x1E35A7BD
+    seed = (0x01030507 * version) & M
+    ck = (HASH * seed) & M
+    ck ^= (HASH * ((~ck_size) & M)) & M
+    ck ^= (HASH * ((~entropy_type) & M)) & M
+    ck ^= (HASH * (((~transform_type) >> 32) & M)) & M
+    ck ^= (HASH * ((~transform_type) & M)) & M
+    ck ^= (HASH * ((~block_size) & M)) & M
+    if sz_mask != 0:
+        ck ^= (HASH * (((~input_size) >> 32) & M)) & M
+        ck ^= (HASH * ((~input_size) & M)) & M
+    ck = ((ck >> 23) ^ (ck >> 3)) & M
+    return ck & 0xFFFFFF
+
+
+def encode_block(block: np.ndarray, block_id: int, ctx: Context,
+                 transform_type: int, entropy_type: int,
+                 checksum_bits: int = 0,
+                 listeners: Optional[ListenerBus] = None) -> tuple:
+    """Per-block pipeline (EncodingTask::run :652-807).
+
+    Returns (payload_bytes, payload_bit_length). Pure function of the
+    block — safe to run concurrently for many blocks.
+    """
+    block = np.ascontiguousarray(np.asarray(block, dtype=np.uint8))
+    block_len = len(block)
+    t_type = transform_type
+    e_type = entropy_type
+    mode = 0
+
+    checksum = 0
+    if checksum_bits == 32:
+        checksum = xxhash32(block.tobytes())
+    elif checksum_bits == 64:
+        checksum = xxhash64(block.tobytes())
+
+    if listeners:
+        listeners.notify(Event(EventType.BEFORE_TRANSFORM, block_id, block_len,
+                               checksum=checksum if checksum_bits else None,
+                               hash_bits=checksum_bits))
+
+    if block_len <= SMALL_BLOCK_SIZE:
+        t_type = tfactory.NONE_TYPE
+        e_type = 0
+        mode |= COPY_BLOCK_MASK
+    elif ctx.get_int("skipBlocks", 0):
+        skip = magiclib.is_compressed(magiclib.get_type(block[:4].tobytes()))
+        if not skip:
+            histo = stats.compute_histogram(block)
+            entropy = stats.first_order_entropy_1024(block_len, histo)
+            skip = entropy >= stats.INCOMPRESSIBLE_THRESHOLD
+        if skip:
+            t_type = tfactory.NONE_TYPE
+            e_type = 0
+            mode |= COPY_BLOCK_MASK
+
+    bctx = ctx.copy()
+    bctx.put("blockId", block_id)
+    bctx.put("size", block_len)
+
+    if block_len >= 4:
+        mg = magiclib.get_type(block[:4].tobytes())
+        if magiclib.is_compressed(mg):
+            bctx.put("dataType", stats.BIN)
+        elif magiclib.is_multimedia(mg):
+            bctx.put("dataType", stats.MULTIMEDIA)
+        elif magiclib.is_executable(mg):
+            bctx.put("dataType", stats.EXE)
+
+    transform = tfactory.new_transform(bctx, t_type)
+    out = transform.forward(block)
+    if transform.skip_flags == SKIP_MASK:
+        out = block  # every stage skipped: payload is the input bytes
+    nb_transforms = len(transform)
+    skip_flags = transform.skip_flags
+    post_len = len(out)
+    bctx.put("size", post_len)
+
+    data_size = 1 if post_len < 256 else (stats.log2(post_len) >> 3) + 1
+    if data_size > 4:
+        raise KanziError("Invalid block data length", Error.ERR_WRITE_FILE)
+    mode |= ((data_size - 1) & 0x03) << 5
+
+    if listeners:
+        listeners.notify(Event(EventType.AFTER_TRANSFORM, block_id, post_len,
+                               checksum=checksum if checksum_bits else None,
+                               hash_bits=checksum_bits))
+
+    obs = BitWriter()
+    if (mode & COPY_BLOCK_MASK) or nb_transforms <= 4:
+        mode |= skip_flags >> 4
+        obs.write_bits(mode, 8)
+    else:
+        mode |= TRANSFORMS_MASK
+        obs.write_bits(mode, 8)
+        obs.write_bits(skip_flags, 8)
+
+    obs.write_bits(post_len, 8 * data_size)
+    if checksum_bits:
+        obs.write_bits(checksum, checksum_bits)
+
+    if listeners:
+        listeners.notify(Event(EventType.BEFORE_ENTROPY, block_id, post_len,
+                               checksum=checksum if checksum_bits else None,
+                               hash_bits=checksum_bits))
+
+    ee = efactory.new_encoder(obs, bctx, e_type)
+    if ee.encode(out) != post_len:
+        raise KanziError("Entropy coding failed", Error.ERR_PROCESS_BLOCK)
+    ee.dispose()
+
+    written = obs.written()
+    payload = obs.getvalue()
+
+    if listeners:
+        listeners.notify(Event(EventType.AFTER_ENTROPY, block_id,
+                               (written + 7) >> 3,
+                               checksum=checksum if checksum_bits else None,
+                               hash_bits=checksum_bits,
+                               skip_flags=skip_flags))
+    return payload, written
+
+
+def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
+                 transform_type: int, entropy_type: int, block_size: int,
+                 checksum_bits: int = 0,
+                 listeners: Optional[ListenerBus] = None) -> np.ndarray:
+    """Per-block inverse pipeline (DecodingTask::run :790-1040)."""
+    ibs = BitReader(payload)
+    t_type = transform_type
+    e_type = entropy_type
+
+    mode = ibs.read_bits(8)
+    skip_flags = 0
+    if mode & COPY_BLOCK_MASK:
+        t_type = tfactory.NONE_TYPE
+        e_type = 0
+    else:
+        if mode & TRANSFORMS_MASK:
+            skip_flags = ibs.read_bits(8)
+        else:
+            skip_flags = ((mode << 4) | 0x0F) & 0xFF
+
+    data_size = 1 + ((mode >> 5) & 0x03)
+    pre_len = ibs.read_bits(8 * data_size)
+    max_transform_size = min(max(block_size + block_size // 2, 2048), MAX_BLOCK_SIZE)
+    if pre_len <= 0 or pre_len > max_transform_size:
+        raise KanziError(f"Invalid compressed block length: {pre_len}",
+                         Error.ERR_READ_FILE)
+
+    checksum1 = 0
+    if checksum_bits:
+        checksum1 = ibs.read_bits(checksum_bits)
+
+    if listeners:
+        listeners.notify(Event(EventType.BEFORE_ENTROPY, block_id,
+                               (bit_len + 7) >> 3,
+                               checksum=checksum1 if checksum_bits else None,
+                               hash_bits=checksum_bits))
+
+    bctx = ctx.copy()
+    bctx.put("blockId", block_id)
+    bctx.put("size", pre_len)
+
+    ed = efactory.new_decoder(ibs, bctx, e_type)
+    buf = ed.decode(pre_len)
+    if len(buf) != pre_len:
+        raise KanziError("Entropy decoding failed", Error.ERR_PROCESS_BLOCK)
+    ed.dispose()
+
+    if listeners:
+        listeners.notify(Event(EventType.AFTER_ENTROPY, block_id, pre_len,
+                               checksum=checksum1 if checksum_bits else None,
+                               hash_bits=checksum_bits))
+        listeners.notify(Event(EventType.BEFORE_TRANSFORM, block_id, pre_len,
+                               checksum=checksum1 if checksum_bits else None,
+                               hash_bits=checksum_bits))
+
+    transform = tfactory.new_transform(bctx, t_type)
+    transform.skip_flags = skip_flags
+    data = transform.inverse(buf)
+
+    if checksum_bits == 32:
+        checksum2 = xxhash32(data.tobytes())
+        if checksum2 != checksum1:
+            raise KanziError(
+                f"Corrupted bitstream: expected checksum {checksum1:x}, found {checksum2:x}",
+                Error.ERR_CRC_CHECK)
+    elif checksum_bits == 64:
+        checksum2 = xxhash64(data.tobytes())
+        if checksum2 != checksum1:
+            raise KanziError(
+                f"Corrupted bitstream: expected checksum {checksum1:x}, found {checksum2:x}",
+                Error.ERR_CRC_CHECK)
+
+    if listeners:
+        listeners.notify(Event(EventType.AFTER_TRANSFORM, block_id, len(data),
+                               checksum=checksum1 if checksum_bits else None,
+                               hash_bits=checksum_bits))
+    return data
+
+
+class CompressedWriter:
+    """ostream-facade equivalent: accepts bytes, emits the compressed file.
+
+    Matches CompressedOutputStream(os, jobs, entropy, transform, blockSize,
+    checksum, originalSize, headerless) (src/io/CompressedOutputStream.hpp:
+    136-172).
+    """
+
+    def __init__(self, out, transform: str = "NONE", entropy: str = "NONE",
+                 block_size: int = 4 * 1024 * 1024, checksum_bits: int = 0,
+                 original_size: int = 0, headerless: bool = False,
+                 jobs: int = 1, ctx: Optional[Context] = None):
+        if block_size < MIN_BLOCK_SIZE or block_size > MAX_BLOCK_SIZE:
+            raise KanziError(f"Invalid block size: {block_size}", Error.ERR_BLOCK_SIZE)
+        if block_size & -16 != block_size:
+            # the header stores blockSize>>4: low 4 bits must be zero
+            raise KanziError("The block size must be a multiple of 16", Error.ERR_BLOCK_SIZE)
+        if checksum_bits not in (0, 32, 64):
+            raise KanziError("Invalid checksum size", Error.ERR_INVALID_PARAM)
+        if not 1 <= jobs <= MAX_CONCURRENCY:
+            raise KanziError(f"Invalid number of jobs: {jobs}", Error.ERR_INVALID_PARAM)
+        self.out = out
+        self.ctx = ctx.copy() if ctx is not None else Context()
+        self.transform_type = tfactory.transform_name_to_type(transform)
+        self.entropy_type = efactory.entropy_name_to_type(entropy)
+        self.ctx.put("entropy", efactory.entropy_type_to_name(self.entropy_type))
+        self.ctx.put("transform", tfactory.transform_type_to_name(self.transform_type))
+        self.ctx.put("blockSize", block_size)
+        self.ctx.put("bsVersion", FORMAT_VERSION)
+        self.block_size = block_size
+        self.checksum_bits = checksum_bits
+        self.original_size = original_size
+        self.headerless = headerless
+        self.jobs = jobs
+        self.listeners = ListenerBus()
+        self._pending = bytearray()
+        self._block_id = 0
+        self._obs = BitWriter()
+        self._header_written = False
+        self._closed = False
+
+    # --- header (writeHeader :277-342) ---
+    def _write_header(self) -> None:
+        if self._header_written or self.headerless:
+            return
+        self._header_written = True
+        obs = self._obs
+        obs.write_bits(MAGIC, 32)
+        obs.write_bits(FORMAT_VERSION, 4)
+        ck_size = {0: 0, 32: 1, 64: 2}[self.checksum_bits]
+        obs.write_bits(ck_size, 2)
+        obs.write_bits(self.entropy_type, 5)
+        obs.write_bits(self.transform_type, 48)
+        obs.write_bits(self.block_size >> 4, 28)
+        if self.original_size == 0 or self.original_size >= (1 << 48):
+            sz_mask = 0
+        else:
+            sz_mask = (stats.log2(self.original_size) >> 4) + 1
+        obs.write_bits(sz_mask, 2)
+        if sz_mask:
+            obs.write_bits(self.original_size, 16 * sz_mask)
+        obs.write_bits(0, 15)
+        cksum = _header_checksum(FORMAT_VERSION, ck_size, self.entropy_type,
+                                 self.transform_type, self.block_size,
+                                 sz_mask, self.original_size)
+        obs.write_bits(cksum, 24)
+
+    def write(self, data) -> int:
+        if self._closed:
+            raise KanziError("Stream closed", Error.ERR_WRITE_FILE)
+        data = bytes(data)
+        self._pending += data
+        while len(self._pending) >= self.block_size:
+            block = self._pending[:self.block_size]
+            del self._pending[:self.block_size]
+            self._emit_block(np.frombuffer(bytes(block), dtype=np.uint8))
+        return len(data)
+
+    def _emit_block(self, block: np.ndarray) -> None:
+        self._write_header()
+        self._block_id += 1
+        payload, bits = encode_block(block, self._block_id, self.ctx,
+                                     self.transform_type, self.entropy_type,
+                                     self.checksum_bits, self.listeners)
+        self._commit(payload, bits)
+
+    def _commit(self, payload: bytes, written: int) -> None:
+        # ordered commit: [5b lw-3][lw bits bit-length][payload bits]
+        lw = 3 if written < 8 else stats.log2(written >> 3) + 4
+        self._obs.write_bits(lw - 3, 5)
+        self._obs.write_bits(written, lw)
+        self._obs._append_bit_run(payload, written)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._pending:
+            block = bytes(self._pending)
+            self._pending.clear()
+            self._emit_block(np.frombuffer(block, dtype=np.uint8))
+        self._write_header()  # empty input still emits a header
+        # end of stream marker (:415-417)
+        self._obs.write_bits(0, 5)
+        self._obs.write_bits(0, 3)
+        self.out.write(self._obs.getvalue())
+        self._obs = BitWriter()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class CompressedReader:
+    """istream-facade equivalent of CompressedInputStream."""
+
+    def __init__(self, data: bytes, jobs: int = 1, ctx: Optional[Context] = None,
+                 headerless: bool = False, transform: str = "NONE",
+                 entropy: str = "NONE", block_size: int = 4 * 1024 * 1024,
+                 checksum_bits: int = 0, original_size: int = 0,
+                 bs_version: int = FORMAT_VERSION):
+        self.ibs = BitReader(data)
+        self.ctx = ctx.copy() if ctx is not None else Context()
+        self.jobs = jobs
+        self.listeners = ListenerBus()
+        self.headerless = headerless
+        self._blocks_decoded = 0
+        self.output_size = 0
+        if headerless:
+            self.transform_type = tfactory.transform_name_to_type(transform)
+            self.entropy_type = efactory.entropy_name_to_type(entropy)
+            self.block_size = block_size
+            self.checksum_bits = checksum_bits
+            self.output_size = original_size
+            self.bs_version = bs_version
+        else:
+            self._read_header()
+        self.ctx.put("bsVersion", self.bs_version)
+        self.ctx.put("entropy", efactory.entropy_type_to_name(self.entropy_type))
+        self.ctx.put("blockSize", self.block_size)
+
+    def _read_header(self) -> None:
+        ibs = self.ibs
+        if ibs.read_bits(32) != MAGIC:
+            raise KanziError("Invalid stream type", Error.ERR_INVALID_FILE)
+        bs_version = ibs.read_bits(4)
+        if bs_version > FORMAT_VERSION:
+            raise KanziError(
+                f"Invalid bitstream, cannot read this version of the stream: {bs_version}",
+                Error.ERR_STREAM_VERSION)
+        self.bs_version = bs_version
+        ck_size = 0
+        if bs_version >= 6:
+            ck_size = ibs.read_bits(2)
+            if ck_size == 3:
+                raise KanziError("Invalid bitstream, incorrect block checksum size",
+                                 Error.ERR_INVALID_FILE)
+            self.checksum_bits = {0: 0, 1: 32, 2: 64}[ck_size]
+        else:
+            self.checksum_bits = 32 if ibs.read_bit() else 0
+        self.entropy_type = ibs.read_bits(5)
+        try:
+            efactory.entropy_type_to_name(self.entropy_type)
+        except ValueError:
+            raise KanziError(
+                f"Invalid bitstream, unknown entropy type: {self.entropy_type}",
+                Error.ERR_INVALID_CODEC)
+        self.transform_type = ibs.read_bits(48)
+        try:
+            tfactory.transform_type_to_name(self.transform_type)
+        except ValueError:
+            raise KanziError(
+                f"Invalid bitstream, unknown transform type: {self.transform_type}",
+                Error.ERR_INVALID_CODEC)
+        self.block_size = ibs.read_bits(28) << 4
+        if self.block_size < MIN_BLOCK_SIZE or self.block_size > MAX_BLOCK_SIZE:
+            raise KanziError(
+                f"Invalid bitstream, incorrect block size: {self.block_size}",
+                Error.ERR_BLOCK_SIZE)
+        sz_mask = ibs.read_bits(2)
+        if sz_mask:
+            self.output_size = ibs.read_bits(16 * sz_mask)
+        if bs_version >= 6:
+            ibs.read_bits(15)
+        crc_size = 16 if bs_version <= 5 else 24
+        cksum1 = ibs.read_bits(crc_size)
+        if bs_version >= 6:
+            cksum2 = _header_checksum(bs_version, ck_size, self.entropy_type,
+                                      self.transform_type, self.block_size,
+                                      sz_mask, self.output_size)
+        else:  # legacy folding (readHeader :628-645)
+            M = 0xFFFFFFFF
+            HASH = 0x1E35A7BD
+            ck = (HASH * bs_version) & M
+            ck ^= (HASH * ((~self.entropy_type) & M)) & M
+            ck ^= (HASH * (((~self.transform_type) >> 32) & M)) & M
+            ck ^= (HASH * ((~self.transform_type) & M)) & M
+            ck ^= (HASH * ((~self.block_size) & M)) & M
+            if sz_mask:
+                ck ^= (HASH * (((~self.output_size) >> 32) & M)) & M
+                ck ^= (HASH * ((~self.output_size) & M)) & M
+            cksum2 = ((ck >> 23) ^ (ck >> 3)) & M
+        if cksum1 != (cksum2 & ((1 << crc_size) - 1)):
+            raise KanziError("Invalid bitstream, header checksum mismatch",
+                             Error.ERR_CRC_CHECK)
+        if self.listeners:
+            self.listeners.notify(Event(EventType.AFTER_HEADER_DECODING, 0,
+                                        self.block_size))
+
+    def read_all(self, from_block: int = 1, to_block: int = MAX_BLOCK_ID) -> bytes:
+        """Decode every block in order; supports --from/--to block ranges
+        (CompressedInputStream.cpp:836-867)."""
+        out = bytearray()
+        block_id = 0
+        while True:
+            block_id += 1
+            lr = 3 + self.ibs.read_bits(5)
+            bits = self.ibs.read_bits(lr)
+            if bits == 0:
+                break
+            if bits > (1 << 34):
+                raise KanziError("Invalid block size", Error.ERR_BLOCK_SIZE)
+            nbytes = (bits + 7) >> 3
+            payload = self.ibs.read_bytes(nbytes - 1) if bits & 7 else self.ibs.read_bytes(nbytes)
+            if bits & 7:
+                tail = self.ibs.read_bits(bits & 7)
+                payload += bytes([ (tail << (8 - (bits & 7))) & 0xFF ])
+            if block_id < from_block:
+                continue
+            if block_id >= to_block:
+                break
+            data = decode_block(payload, bits, block_id, self.ctx,
+                                self.transform_type, self.entropy_type,
+                                self.block_size, self.checksum_bits,
+                                self.listeners)
+            out += data.tobytes()
+            self._blocks_decoded += 1
+        return bytes(out)
+
+
+# --- convenience one-shot APIs ---
+
+def compress_bytes(data: bytes, transform: str = "NONE", entropy: str = "NONE",
+                   block_size: int = 4 * 1024 * 1024, checksum_bits: int = 0,
+                   headerless: bool = False, jobs: int = 1,
+                   ctx: Optional[Context] = None) -> bytes:
+    sink = _pyio.BytesIO()
+    w = CompressedWriter(sink, transform=transform, entropy=entropy,
+                         block_size=block_size, checksum_bits=checksum_bits,
+                         original_size=len(data), headerless=headerless,
+                         jobs=jobs, ctx=ctx)
+    w.write(data)
+    w.close()
+    return sink.getvalue()
+
+
+def decompress_bytes(data: bytes, jobs: int = 1, ctx: Optional[Context] = None,
+                     **headerless_kwargs) -> bytes:
+    r = CompressedReader(data, jobs=jobs, ctx=ctx, **headerless_kwargs)
+    return r.read_all()
