@@ -1,0 +1,342 @@
+"""Canonical Huffman coder, bit-exact with the reference.
+
+Reference: src/entropy/Huffman{Common,Encoder,Decoder}.cpp.
+- 16 KiB chunks (MAX_CHUNK_SIZE, HuffmanCommon.cpp:21-24), 12-bit max code.
+- Code lengths via in-place Moffat–Katajainen (HuffmanEncoder.cpp:246-300)
+  with length-limiting by bit-debt repayment (:129-215).
+- Lengths transmitted as signed exp-Golomb deltas from 2 (:112-126).
+- Each chunk splits into 4 fragments encoded into 4 independent bit
+  streams (varint bit counts first) enabling 4-way parallel decode
+  (:348-421). Chunks < 32 bytes are stored raw.
+
+This implementation is data-parallel: symbol->code mapping, bit packing
+(prefix-sum + scatter) and decoding (sliding-window table lookups +
+pointer-doubling chain walk) are all vectorized numpy — the same
+formulation used by the Pallas kernels in kanzi_tpu/ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kanzi_tpu.bitstream import BitReader, BitWriter
+from kanzi_tpu.entropy import utils as eu
+from kanzi_tpu.entropy.base import EntropyDecoder, EntropyEncoder
+from kanzi_tpu.entropy.exp_golomb import ExpGolombDecoder, ExpGolombEncoder
+from kanzi_tpu.utils.bitpack import (
+    chain_walk, pack_bits, sliding_window_values, unpack_bits)
+
+LOG_MAX_CHUNK_SIZE = 14
+MAX_CHUNK_SIZE = 1 << LOG_MAX_CHUNK_SIZE
+MAX_SYMBOL_SIZE = 12
+DECODING_BATCH_SIZE = 12
+TABLE_MASK = (1 << DECODING_BATCH_SIZE) - 1
+
+
+# --- code-length computation (exact Moffat–Katajainen reimplementation) ---
+
+def _compute_inplace_phase1(data, n):
+    s = r = 0
+    for t in range(n - 1):
+        total = 0
+        for _ in range(2):
+            if s >= n or (r < t and data[r] < data[s]):
+                total += data[r]
+                data[r] = t
+                r += 1
+                continue
+            total += data[s]
+            if s > t:
+                data[s] = 0
+            s += 1
+        data[t] = total
+    return data
+
+
+def _compute_inplace_phase2(data, n):
+    if n < 2:
+        return 0
+    top_level = n - 2
+    depth = 1
+    nodes_at_level = 2
+    while n > 0:
+        k = top_level
+        while k != 0 and data[k - 1] >= top_level:
+            k -= 1
+        internal = top_level - k
+        leaves = nodes_at_level - internal
+        for _ in range(leaves):
+            n -= 1
+            data[n] = depth
+        nodes_at_level = internal << 1
+        top_level = k
+        depth += 1
+    return depth - 1
+
+
+def compute_code_lengths(freqs_by_rank, ranks_symbols, count):
+    """ranks sorted by (freq, symbol) ascending; returns sizes[256], maxlen."""
+    data = list(freqs_by_rank)
+    if any(f == 0 for f in data):
+        return None, 0
+    _compute_inplace_phase1(data, count)
+    maxlen = _compute_inplace_phase2(data, count)
+    sizes = np.zeros(256, dtype=np.int64)
+    for i in range(count):
+        sizes[ranks_symbols[i]] = data[i]
+    return sizes, maxlen
+
+
+def generate_canonical_codes(sizes, symbols, count):
+    """Canonical codes (HuffmanCommon.cpp:29-70). symbols re-sorted by
+    (size, symbol); returns codes[256] or None on over-long code."""
+    symbols = list(symbols[:count])
+    if count == 0:
+        return np.zeros(256, dtype=np.int64)
+    if count > 1:
+        # sort by (size-1)<<8 | symbol via bucket flags
+        key = sorted((int(sizes[s]) - 1) << 8 | int(s) for s in symbols)
+        for s in symbols:
+            if s > 255 or sizes[s] > MAX_SYMBOL_SIZE:
+                return None
+        symbols = [k & 0xFF for k in key]
+    codes = np.zeros(256, dtype=np.int64)
+    cur_len = int(sizes[symbols[0]])
+    code = 0
+    for s in symbols:
+        code <<= int(sizes[s]) - cur_len
+        cur_len = int(sizes[s])
+        codes[s] = code
+        code += 1
+    return codes
+
+
+def _limit_code_lengths(alphabet, freqs, sizes, ranks, count):
+    """Bit-debt repayment (HuffmanEncoder.cpp:129-215)."""
+    n = 0
+    debt = 0
+    while sizes[ranks[n]] >= MAX_SYMBOL_SIZE:
+        debt += int(sizes[ranks[n]]) - MAX_SYMBOL_SIZE
+        sizes[ranks[n]] = MAX_SYMBOL_SIZE
+        n += 1
+    if debt == 0:
+        return MAX_SYMBOL_SIZE, sizes
+    v = [[] for _ in range(6)]
+    v_head = [0] * 6
+    while n < count:
+        idx = MAX_SYMBOL_SIZE - 1 - int(sizes[ranks[n]])
+        if idx > 5 or debt < (1 << idx):
+            break
+        v[idx].append(n)
+        n += 1
+    idx = 5
+    while debt > 0 and idx >= 0:
+        if v_head[idx] >= len(v[idx]) or debt < (1 << idx):
+            idx -= 1
+            continue
+        sizes[ranks[v[idx][v_head[idx]]]] += 1
+        debt -= 1 << idx
+        v_head[idx] += 1
+    idx = 0
+    while debt > 0 and idx < 6:
+        if v_head[idx] >= len(v[idx]):
+            idx += 1
+            continue
+        sizes[ranks[v[idx][v_head[idx]]]] += 1
+        debt -= 1 << idx
+        v_head[idx] += 1
+    if debt > 0:
+        # slow path: renormalize frequencies to a smaller scale and retry
+        f = np.zeros(count, dtype=np.int64)
+        total = 0
+        for i in range(count):
+            f[i] = freqs[alphabet[i]]
+            total += int(f[i])
+        eu.normalize_frequencies(f, count, total, MAX_CHUNK_SIZE >> 3)
+        for i in range(count):
+            freqs[alphabet[i]] = f[i]
+            ranks[i] = (int(f[i]) << 8) | int(alphabet[i])
+        ranks_sorted = sorted(int(r) for r in ranks[:count])
+        fr = [r >> 8 for r in ranks_sorted]
+        rs = [r & 0xFF for r in ranks_sorted]
+        sizes2, maxlen = compute_code_lengths(fr, rs, count)
+        return maxlen, sizes2
+    return MAX_SYMBOL_SIZE, sizes
+
+
+class HuffmanEncoder(EntropyEncoder):
+    def __init__(self, obs: BitWriter, ctx=None, chunk_size: int = MAX_CHUNK_SIZE):
+        super().__init__(obs, ctx)
+        if not 1024 <= chunk_size <= MAX_CHUNK_SIZE:
+            raise ValueError("Huffman codec: invalid chunk size")
+        self.chunk_size = chunk_size
+        self.codes = np.arange(256, dtype=np.int64)
+        self.lens = np.zeros(256, dtype=np.int64)
+
+    def _update_frequencies(self, freqs: np.ndarray) -> int:
+        """Build codes for one chunk + emit table (HuffmanEncoder.cpp:57-127).
+        Returns alphabet size."""
+        self.codes[:] = 0
+        alphabet = np.nonzero(freqs)[0]
+        count = len(alphabet)
+        eu.encode_alphabet(self.obs, alphabet)
+        if count == 0:
+            return 0
+        sizes = np.zeros(256, dtype=np.int64)
+        if count == 1:
+            self.codes[alphabet[0]] = 1 << 12
+            sizes[alphabet[0]] = 1
+        else:
+            freqs = freqs.astype(np.int64).copy()
+            ranks = np.sort((freqs[alphabet] << 8) | alphabet)
+            fr = (ranks >> 8).tolist()
+            rs = (ranks & 0xFF).tolist()
+            sizes_c, maxlen = compute_code_lengths(fr, rs, count)
+            if maxlen == 0:
+                raise ValueError("Could not generate Huffman codes: invalid code length 0")
+            sizes = sizes_c
+            rank_syms = np.array(rs, dtype=np.int64)
+            if maxlen > MAX_SYMBOL_SIZE:
+                maxlen, sizes = _limit_code_lengths(alphabet, freqs, sizes,
+                                                    rank_syms, count)
+                if maxlen == 0:
+                    raise ValueError("Could not generate Huffman codes: invalid code length 0")
+            if maxlen > MAX_SYMBOL_SIZE:
+                for n, s in enumerate(alphabet):
+                    self.codes[s] = n
+                    sizes[s] = 8
+            else:
+                codes = generate_canonical_codes(sizes, rank_syms, count)
+                if codes is None:
+                    raise ValueError("Could not generate canonical codes")
+                self.codes[:] = codes
+        # transmit code lengths as signed exp-Golomb deltas (prev starts at 2)
+        eg = ExpGolombEncoder(self.obs, signed=True)
+        prev = 2
+        for s in alphabet:
+            self.codes[s] |= int(sizes[s]) << 12
+            eg.encode_byte((int(sizes[s]) - prev) & 0xFF)
+            prev = int(sizes[s])
+        return count
+
+    def encode(self, block: np.ndarray) -> int:
+        block = np.asarray(block, dtype=np.uint8)
+        count = len(block)
+        if count == 0:
+            return 0
+        start = 0
+        while start < count:
+            size_chunk = min(self.chunk_size, count - start)
+            chunk = block[start:start + size_chunk]
+            if size_chunk < 32:
+                self.obs.write_bytes(chunk.tobytes())
+            else:
+                freqs = np.bincount(chunk, minlength=256).astype(np.int64)
+                if self._update_frequencies(freqs) > 1:
+                    self._encode_chunk(chunk)
+            start += size_chunk
+        return count
+
+    def _encode_chunk(self, chunk: np.ndarray) -> None:
+        """4 independent fragments (HuffmanEncoder.cpp:348-421)."""
+        count = len(chunk)
+        sz_frag = count // 4
+        code_bits = self.codes & 0x0FFF
+        code_lens = self.codes >> 12
+        frag_packed = []
+        frag_bits = []
+        for j in range(4):
+            src = chunk[j * sz_frag:(j + 1) * sz_frag]
+            packed, nbits = pack_bits(code_bits[src], code_lens[src])
+            frag_packed.append(packed)
+            frag_bits.append(nbits)
+        for nb in frag_bits:
+            eu.write_varint(self.obs, nb)
+        for packed, nb in zip(frag_packed, frag_bits):
+            self.obs._append_bit_run(packed.tobytes(), nb)
+        # chunk tail bytes (count not divisible by 4) stored raw
+        for i in range(4 * sz_frag, count):
+            self.obs.write_bits(int(chunk[i]), 8)
+
+
+class HuffmanDecoder(EntropyDecoder):
+    def __init__(self, ibs: BitReader, ctx=None, chunk_size: int = MAX_CHUNK_SIZE):
+        super().__init__(ibs, ctx)
+        if not 1024 <= chunk_size <= MAX_CHUNK_SIZE:
+            raise ValueError("Huffman codec: invalid chunk size")
+        self.chunk_size = chunk_size
+
+    def _read_lengths(self):
+        """Returns (alphabet, sizes[256], codes[256]) or alphabet size 0."""
+        alphabet = eu.decode_alphabet(self.ibs)
+        count = len(alphabet)
+        if count == 0:
+            return alphabet, None, None
+        eg = ExpGolombDecoder(self.ibs, signed=True)
+        sizes = np.zeros(256, dtype=np.int64)
+        cur = 2
+        for s in alphabet:
+            delta = eg.decode_byte()
+            if delta >= 128:
+                delta -= 256
+            cur += delta
+            if cur <= 0 or cur > MAX_SYMBOL_SIZE:
+                raise ValueError(f"Invalid bitstream: incorrect size {cur} "
+                                 f"for Huffman symbol {s}")
+            sizes[s] = cur
+        codes = generate_canonical_codes(sizes, alphabet, count)
+        if codes is None:
+            raise ValueError("Could not generate Huffman codes: max code "
+                             "length exceeded")
+        return alphabet, sizes, codes
+
+    def decode(self, count: int) -> np.ndarray:
+        bs_version = self.ctx.get_int("bsVersion", 6)
+        if bs_version < 6:
+            raise NotImplementedError("legacy Huffman bitstream (bsVersion<6)")
+        out = np.empty(count, dtype=np.uint8)
+        start = 0
+        while start < count:
+            size_chunk = min(self.chunk_size, count - start)
+            if size_chunk < 32:
+                out[start:start + size_chunk] = np.frombuffer(
+                    self.ibs.read_bytes(size_chunk), dtype=np.uint8)
+            else:
+                alphabet, sizes, codes = self._read_lengths()
+                if len(alphabet) == 0:
+                    return out[:start]
+                if len(alphabet) == 1:
+                    out[start:start + size_chunk] = alphabet[0]
+                else:
+                    self._decode_chunk(out, start, size_chunk, alphabet,
+                                       sizes, codes)
+            start += size_chunk
+        return out
+
+    def _decode_chunk(self, out, start, count, alphabet, sizes, codes):
+        # flat 12-bit prefix table (HuffmanDecoder.cpp:buildDecodingTable)
+        tbl_sym = np.zeros(TABLE_MASK + 1, dtype=np.uint8)
+        tbl_len = np.full(TABLE_MASK + 1, 7, dtype=np.int64)
+        for s in alphabet:
+            ln = int(sizes[s])
+            w = 1 << (DECODING_BATCH_SIZE - ln)
+            idx = int(codes[s]) * w
+            tbl_sym[idx:idx + w] = s
+            tbl_len[idx:idx + w] = ln
+        sz_frag = count // 4
+        frag_bits = [eu.read_varint(self.ibs) for _ in range(4)]
+        for j in range(4):
+            nb = frag_bits[j]
+            nbytes = (nb + 7) >> 3
+            raw = bytearray(self.ibs.read_bytes(nb >> 3))
+            if nb & 7:
+                tail = self.ibs.read_bits(nb & 7)
+                raw.append((tail << (8 - (nb & 7))) & 0xFF)
+            bits = unpack_bits(bytes(raw), nbytes * 8)
+            win = sliding_window_values(bits, DECODING_BATCH_SIZE)
+            lens = tbl_len[win]
+            nxt = np.arange(len(win), dtype=np.int64) + lens
+            pos = chain_walk(nxt, 0, sz_frag)
+            out[start + j * sz_frag:start + (j + 1) * sz_frag] = tbl_sym[win[pos]]
+        for i in range(4 * sz_frag, count):
+            out[start + i] = self.ibs.read_bits(8)
