@@ -12,7 +12,7 @@ from kanzi_tpu.entropy import factory as ef
 from kanzi_tpu.entropy import utils as eu
 from tests.conftest import ORACLE, needs_oracle
 
-CODERS_READY = ["NONE", "HUFFMAN"]
+CODERS_READY = ["NONE", "HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ", "CM"]
 
 
 def roundtrip_coder(name, data):
@@ -70,7 +70,7 @@ def test_exp_golomb_roundtrip():
 
 
 @needs_oracle
-@pytest.mark.parametrize("entropy", ["HUFFMAN"])
+@pytest.mark.parametrize("entropy", ["HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ", "CM"])
 def test_oracle_cross_entropy(tmp_path, corpus, entropy):
     for name, data in corpus.items():
         if not data:
