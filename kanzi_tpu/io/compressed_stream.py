@@ -72,11 +72,16 @@ def _header_checksum(version: int, ck_size: int, entropy_type: int,
 def encode_block(block: np.ndarray, block_id: int, ctx: Context,
                  transform_type: int, entropy_type: int,
                  checksum_bits: int = 0,
-                 listeners: Optional[ListenerBus] = None) -> tuple:
+                 listeners: Optional[ListenerBus] = None,
+                 slot_caps: Optional[list] = None) -> tuple:
     """Per-block pipeline (EncodingTask::run :652-807).
 
     Returns (payload_bytes, payload_bit_length). Pure function of the
-    block — safe to run concurrently for many blocks.
+    block (given slot_caps) — safe to run concurrently for many blocks.
+
+    slot_caps = [input_capacity, work_capacity] models the task slot's
+    persistent buffers (they only grow across the blocks a slot handles,
+    and capacity gates transform-skip decisions); mutated in place.
     """
     block = np.ascontiguousarray(np.asarray(block, dtype=np.uint8))
     block_len = len(block)
@@ -124,7 +129,19 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
             bctx.put("dataType", stats.EXE)
 
     transform = tfactory.new_transform(bctx, t_type)
-    out = transform.forward(block)
+    # model the slot's persistent buffers: input buffer starts at
+    # blockSize + blockSize/64 floor 64 KiB (processBuffer :461-470), work
+    # buffer at requiredSize (EncodingTask :733-740); both only grow
+    bsz = ctx.get_int("blockSize", max(block_len, 1024))
+    if slot_caps is None:
+        slot_caps = [0, 0]
+    if slot_caps[0] == 0:
+        slot_caps[0] = max(bsz + (bsz >> 6), 65536)
+    required = transform.max_encoded_length(block_len)
+    if slot_caps[1] < required:
+        slot_caps[1] = required
+    out = transform.forward(block, input_capacity=slot_caps[0],
+                            output_capacity=slot_caps[1])
     if transform.skip_flags == SKIP_MASK:
         out = block  # every stage skipped: payload is the input bytes
     nb_transforms = len(transform)
@@ -164,6 +181,10 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
     if ee.encode(out) != post_len:
         raise KanziError("Entropy coding failed", Error.ERR_PROCESS_BLOCK)
     ee.dispose()
+
+    # the entropy scratch regrows the slot's input buffer (:776-784)
+    slot_caps[0] = max(slot_caps[0], 256 * 1024, post_len,
+                       block_len + (block_len >> 3))
 
     written = obs.written()
     payload = obs.getvalue()
@@ -296,6 +317,8 @@ class CompressedWriter:
         self._obs = BitWriter()
         self._header_written = False
         self._closed = False
+        # per task-slot persistent buffer capacities [input, work]
+        self._slot_caps = [[0, 0] for _ in range(jobs)]
 
     # --- header (writeHeader :277-342) ---
     def _write_header(self) -> None:
@@ -337,9 +360,11 @@ class CompressedWriter:
     def _emit_block(self, block: np.ndarray) -> None:
         self._write_header()
         self._block_id += 1
+        slot = (self._block_id - 1) % self.jobs
         payload, bits = encode_block(block, self._block_id, self.ctx,
                                      self.transform_type, self.entropy_type,
-                                     self.checksum_bits, self.listeners)
+                                     self.checksum_bits, self.listeners,
+                                     slot_caps=self._slot_caps[slot])
         self._commit(payload, bits)
 
     def _commit(self, payload: bytes, written: int) -> None:

@@ -26,6 +26,15 @@ from kanzi_tpu.core.context import Context
 class ByteTransform:
     def __init__(self, ctx: Optional[Context] = None):
         self.ctx = ctx if ctx is not None else Context()
+        # Output buffer capacity for the current forward call, set by
+        # TransformSequence (capacity-gated transforms consult this; the
+        # reference checks output._length during forward)
+        self.output_capacity: Optional[int] = None
+
+    def capacity_for(self, src_len: int) -> int:
+        if self.output_capacity is not None:
+            return self.output_capacity
+        return self.max_encoded_length(src_len)
 
     def forward(self, src: np.ndarray) -> Optional[np.ndarray]:
         raise NotImplementedError

@@ -27,18 +27,46 @@ class TransformSequence:
     def __len__(self) -> int:
         return len(self.transforms)
 
-    def forward(self, src: np.ndarray) -> Optional[np.ndarray]:
+    def forward(self, src: np.ndarray, input_capacity: int = 0,
+                output_capacity: int = 0) -> Optional[np.ndarray]:
         """Apply all stages; returns transformed bytes (skip_flags records
         which stages ran). Returns the input copy if every stage skipped
-        (caller checks skip_flags == SKIP_MASK, reference returns false)."""
+        (caller checks skip_flags == SKIP_MASK, reference returns false).
+
+        Capacity protocol (TransformSequence.hpp:104-146): stages ping-pong
+        between the container's input buffer and the task's work buffer
+        (both persist and only grow across blocks, so callers thread the
+        slot's current capacities in). A stage whose output capacity is
+        below requiredSize gets a fresh requiredSize buffer. Capacity-gated
+        transforms (e.g. ZRLT) skip based on this exact output capacity.
+
+        Final copy-back rule (:148-157): after an even number of successful
+        stages the result is copied back to the output buffer; if it no
+        longer fits, the reference sets SKIP_MASK *but still emits the
+        stale expanded buffer, producing a stream its own decoder rejects*.
+        We keep the SKIP_MASK decision and return the original input — a
+        valid all-skipped block the reference decoder handles.
+        """
         data = as_u8(src)
         self.skip_flags = SKIP_MASK
+        required = self.max_encoded_length(len(data))
+        orig_cap_out = max(output_capacity, required)
+        caps = [max(input_capacity, len(data)), orig_cap_out]
+        swaps = 0
         for i, t in enumerate(self.transforms):
+            if caps[1] < required:
+                caps[1] = required  # fresh requiredSize buffer
+            t.output_capacity = caps[1]
             out = t.forward(data)
             if out is None:
                 continue  # stage skipped, flag bit stays set
             self.skip_flags &= ~(1 << (7 - i)) & 0xFF
             data = out
+            caps.reverse()
+            swaps += 1
+        if (swaps & 1) == 0 and len(data) > orig_cap_out:
+            self.skip_flags = SKIP_MASK
+            return as_u8(src)
         return data
 
     def inverse(self, src: np.ndarray) -> np.ndarray:
