@@ -16,6 +16,7 @@ from kanzi_tpu import compress_bytes, decompress_bytes
 from tests.conftest import ORACLE, needs_oracle
 
 CHAINS_READY = [
+    "LZ", "LZX", "LZP",
     "MTFT", "RANK", "ZRLT", "RLT", "SRT", "MTFT+ZRLT", "RLT+ZRLT",
 ]
 
