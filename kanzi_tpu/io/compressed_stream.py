@@ -238,6 +238,9 @@ def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
     bctx = ctx.copy()
     bctx.put("blockId", block_id)
     bctx.put("size", pre_len)
+    # the decode output buffer capacity (DecodingTask allocates
+    # max(blockLength, payload bytes)); TEXT sizes its dictionary from it
+    bctx.put("_decodeCapacity", max(block_size, (bit_len + 7) >> 3))
 
     ed = efactory.new_decoder(ibs, bctx, e_type)
     buf = ed.decode(pre_len)
