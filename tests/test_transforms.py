@@ -18,6 +18,8 @@ from tests.conftest import ORACLE, needs_oracle
 CHAINS_READY = [
     "LZ", "LZX", "LZP",
     "MTFT", "RANK", "ZRLT", "RLT", "SRT", "MTFT+ZRLT", "RLT+ZRLT",
+    "BWT", "BWTS", "BWT+MTFT+ZRLT", "TEXT", "UTF", "PACK", "DNA", "MM",
+    "EXE", "ROLZ", "ROLZX", "TEXT+UTF+BWT+RANK+ZRLT",
 ]
 
 
