@@ -31,6 +31,14 @@ MIN_CHUNK_SIZE = 1024
 MAX_CHUNK_SIZE = 1 << 27
 
 
+def _device_ans_enabled() -> bool:
+    try:
+        import kanzi_tpu.ops as ops
+        return ops.ENABLED
+    except Exception:  # pragma: no cover - jax always present in this image
+        return False
+
+
 def _sym_encode_tables(freqs: np.ndarray, lr: int):
     """Per-symbol encode constants (ANSEncSymbol::reset).
 
@@ -110,6 +118,11 @@ class ANSRangeEncoder(EntropyEncoder):
             return count
         lr = self.log_range
         start = 0
+        if (self.order == 0 and lr == 12 and self.chunk_size == 16384
+                and count >= 16384 and _device_ans_enabled()):
+            start = self._encode_device(block, count)
+            if start >= count:
+                return count
         chunks = []
         while start < count:
             size = min(self.chunk_size, count - start)
@@ -141,6 +154,27 @@ class ANSRangeEncoder(EntropyEncoder):
                 tabs = _sym_encode_tables(tabs_freqs, lr)
                 self._encode_chunk1(chunk, tabs)
         return count
+
+    def _encode_device(self, block: np.ndarray, count: int) -> int:
+        """Encode all full 16 KiB chunks with the TPU kernel
+        (kanzi_tpu.ops.ans); returns the new start offset (tail chunk, if
+        any, is left for the numpy path). Bit-identical with the numpy
+        path by construction."""
+        from kanzi_tpu.ops import ans as dans
+        full = count // 16384
+        chunks = block[:full * 16384].reshape(full, 16384)
+        freqs, states, payload, plen = dans.encode_chunks_np(chunks)
+        lr = self.log_range
+        for c in range(full):
+            self.obs.write_bits(lr - 8, 3)
+            fq = freqs[c].astype(np.int64)
+            alphabet = np.nonzero(fq)[0].astype(np.int64)
+            self._encode_header(alphabet, fq, lr)
+            if len(alphabet) <= 1:
+                continue
+            self._emit_chunk(states[c].astype(np.int64),
+                             payload[c, :plen[c]].tobytes(), b"")
+        return full * 16384
 
     def _order1_histogram(self, chunk):
         """4-quarter order-1 histogram, prev=0 seeded at each quarter start
@@ -281,19 +315,49 @@ class ANSRangeDecoder(EntropyDecoder):
         if count <= 32:
             return np.frombuffer(self.ibs.read_bytes(count), dtype=np.uint8)
         out = np.empty(count, dtype=np.uint8)
+        device_ok = (self.order == 0 and self.chunk_size == 16384
+                     and count >= 16384 and _device_ans_enabled())
+        queued = []  # (start, freqs[256], states[4], payload bytes, sz)
         start = 0
         while start < count:
             size = min(self.chunk_size, count - start)
             freqs, alphabets, lr = self._decode_header()
             total_alpha = sum(len(a) for a in alphabets)
             if total_alpha == 0:
-                return out[:start]
+                count = start
+                break
             if self.order == 0 and len(alphabets[0]) == 1:
                 out[start:start + size] = alphabets[0][0]
+            elif device_ok and size == 16384 and lr == 12:
+                from kanzi_tpu.ops.ans import PAYLOAD_MAX
+                sz = eu.read_varint(self.ibs)
+                if sz > PAYLOAD_MAX:
+                    raise ValueError("Invalid ANS chunk size")
+                states = np.array([self.ibs.read_bits(32) for _ in range(4)],
+                                  dtype=np.uint32)
+                queued.append((start, freqs[0], states,
+                               self.ibs.read_bytes(sz), sz))
             else:
                 self._decode_chunk(out, start, size, freqs, lr)
             start += size
-        return out
+        if queued:
+            self._decode_device(out, queued)
+        return out[:count]
+
+    def _decode_device(self, out: np.ndarray, queued) -> None:
+        """Batch-decode queued full 16 KiB chunks with the TPU kernel."""
+        from kanzi_tpu.ops import ans as dans
+        n = len(queued)
+        freqs = np.stack([q[1][:256] for q in queued]).astype(np.int32)
+        states = np.stack([q[2] for q in queued])
+        payload = np.zeros((n, dans.PAYLOAD_MAX + 2), dtype=np.uint8)
+        for i, q in enumerate(queued):
+            payload[i, :q[4]] = np.frombuffer(q[3], dtype=np.uint8)
+        dec, consumed = dans.decode_chunks_np(freqs, states, payload)
+        for i, (cstart, _, _, _, sz) in enumerate(queued):
+            if consumed[i] != sz:
+                raise ValueError("ANS chunk payload size mismatch")
+            out[cstart:cstart + 16384] = dec[i]
 
     def _decode_chunk(self, out, start, count, freqs, lr):
         sz = eu.read_varint(self.ibs)
