@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Round-1 metric: end-to-end ANS0 encode throughput (the level-5 entropy
+stage running on the TPU device kernel, kanzi_tpu/ops/ans.py) on a
+deterministic 32 MiB mixed corpus, measured against the reference C++
+binary running the identical pipeline (-t NONE -e ANS0 -j 1) on this
+host. vs_baseline = ours_MBps / reference_MBps. The metric widens to
+full level pipelines as more stages move on device.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ORACLE = "/tmp/oracle/bin/kanzi"
+CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline_cache.json")
+CORPUS_MB = 32
+
+
+def make_corpus(n_mb: int = CORPUS_MB) -> bytes:
+    """Deterministic mixed corpus: text / random / zeros / sparse / runs
+    in silesia-like proportions."""
+    rng = np.random.default_rng(20260816)
+    n = n_mb * 1024 * 1024
+    words = [b"the", b"of", b"and", b"compression", b"entropy", b"block",
+             b"transform", b"stream", b"suffix", b"array", b"kanzi",
+             b"parallel", b"device", b"kernel", b"lattice", b"data"]
+    out = []
+    # 45% text
+    t = bytearray()
+    target = int(n * 0.45)
+    idx = rng.integers(0, len(words), target // 4)
+    for i in idx:
+        t += words[i] + (b" " if (i & 7) else b"\n")
+        if len(t) >= target:
+            break
+    out.append(bytes(t[:target]))
+    # 20% random
+    out.append(rng.integers(0, 256, int(n * 0.20), dtype=np.uint8).tobytes())
+    # 15% sparse alphabet
+    out.append(rng.choice(np.arange(12, dtype=np.uint8),
+                          int(n * 0.15)).tobytes())
+    # 10% zeros
+    out.append(bytes(int(n * 0.10)))
+    # rest: runs
+    rem = n - sum(len(p) for p in out)
+    runs = bytearray()
+    v = 0
+    while len(runs) < rem:
+        v = (v + 37) & 0xFF
+        runs += bytes([v]) * int(rng.integers(1, 80))
+    out.append(bytes(runs[:rem]))
+    return b"".join(out)
+
+
+def build_oracle() -> bool:
+    if os.path.exists(ORACLE):
+        return True
+    try:
+        bdir = "/tmp/oracle/build"
+        os.makedirs(bdir, exist_ok=True)
+        subprocess.run(["cmake", "/root/reference",
+                        "-DCMAKE_BUILD_TYPE=Release", "-G", "Ninja"],
+                       cwd=bdir, capture_output=True, timeout=300, check=True)
+        subprocess.run(["ninja", "kanzi_static"], cwd=bdir,
+                       capture_output=True, timeout=600, check=True)
+        os.makedirs("/tmp/oracle/bin", exist_ok=True)
+        import shutil
+        shutil.copy(os.path.join(bdir, "kanzi_static"), ORACLE)
+        return True
+    except Exception:
+        return False
+
+
+def time_reference(path_in: str, tmpdir: str) -> float:
+    """Returns reference encode seconds (best of 2)."""
+    out = os.path.join(tmpdir, "ref.knz")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = subprocess.run([ORACLE, "-c", "-f", "-t", "NONE", "-e", "ANS0",
+                            "-j", "1", "-i", path_in, "-o", out],
+                           capture_output=True)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode()[:200])
+        best = min(best, dt)
+    return best
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kanzi_tpu.io.compressed_stream import compress_bytes
+
+    data = make_corpus()
+    n_mb = len(data) / 1e6
+
+    # ours: warm up (compile), then best of 2
+    compress_bytes(data[: 8 * 1024 * 1024], transform="NONE", entropy="ANS0")
+    ours_best = float("inf")
+    blob = b""
+    for _ in range(2):
+        t0 = time.perf_counter()
+        blob = compress_bytes(data, transform="NONE", entropy="ANS0")
+        ours_best = min(ours_best, time.perf_counter() - t0)
+    ours_mbps = n_mb / ours_best
+
+    # reference on the same corpus, same host
+    ref_mbps = None
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "corpus.bin")
+        with open(src, "wb") as f:
+            f.write(data)
+        if build_oracle():
+            try:
+                ref_s = time_reference(src, td)
+                ref_mbps = n_mb / ref_s
+                with open(CACHE, "w") as f:
+                    json.dump({"ans0_ref_MBps": ref_mbps,
+                               "ref_size": None}, f)
+            except Exception:
+                ref_mbps = None
+    if ref_mbps is None and os.path.exists(CACHE):
+        with open(CACHE) as f:
+            ref_mbps = json.load(f).get("ans0_ref_MBps")
+    vs = (ours_mbps / ref_mbps) if ref_mbps else 0.0
+
+    print(json.dumps({"metric": "ans0_encode_MBps",
+                      "value": round(ours_mbps, 3),
+                      "unit": "MB/s",
+                      "vs_baseline": round(vs, 4),
+                      "detail": {"corpus_MB": round(n_mb, 1),
+                                 "compressed_B": len(blob),
+                                 "ref_MBps": round(ref_mbps, 3) if ref_mbps else None}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

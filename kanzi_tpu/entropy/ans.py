@@ -162,18 +162,19 @@ class ANSRangeEncoder(EntropyEncoder):
         path by construction."""
         from kanzi_tpu.ops import ans as dans
         full = count // 16384
-        chunks = block[:full * 16384].reshape(full, 16384)
-        freqs, states, payload, plen = dans.encode_chunks_np(chunks)
-        lr = self.log_range
+        prep = getattr(self, "prepared_device", None)
+        if prep is not None and len(prep[4]) == full:
+            hdr, bitlen, m, flat, plen = prep
+        else:
+            chunks = block[:full * 16384].reshape(full, 16384)
+            hdr, bitlen, m, flat, plen = dans.encode_chunks_np(chunks)
+        offs = np.cumsum(plen) - plen
         for c in range(full):
-            self.obs.write_bits(lr - 8, 3)
-            fq = freqs[c].astype(np.int64)
-            alphabet = np.nonzero(fq)[0].astype(np.int64)
-            self._encode_header(alphabet, fq, lr)
-            if len(alphabet) <= 1:
-                continue
-            self._emit_chunk(states[c].astype(np.int64),
-                             payload[c, :plen[c]].tobytes(), b"")
+            bl = int(bitlen[c])
+            self.obs._append_bit_run(hdr[c, :(bl + 7) >> 3].tobytes(), bl)
+            if m[c] > 1:
+                self.obs.write_bytes(
+                    flat[offs[c]:offs[c] + plen[c]].tobytes())
         return full * 16384
 
     def _order1_histogram(self, chunk):

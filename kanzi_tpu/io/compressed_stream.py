@@ -69,20 +69,17 @@ def _header_checksum(version: int, ck_size: int, entropy_type: int,
     return ck & 0xFFFFFF
 
 
-def encode_block(block: np.ndarray, block_id: int, ctx: Context,
-                 transform_type: int, entropy_type: int,
-                 checksum_bits: int = 0,
-                 listeners: Optional[ListenerBus] = None,
-                 slot_caps: Optional[list] = None) -> tuple:
-    """Per-block pipeline (EncodingTask::run :652-807).
-
-    Returns (payload_bytes, payload_bit_length). Pure function of the
-    block (given slot_caps) — safe to run concurrently for many blocks.
-
-    slot_caps = [input_capacity, work_capacity] models the task slot's
-    persistent buffers (they only grow across the blocks a slot handles,
-    and capacity gates transform-skip decisions); mutated in place.
-    """
+def _encode_block_phase1(block: np.ndarray, block_id: int, ctx: Context,
+                         transform_type: int, entropy_type: int,
+                         checksum_bits: int = 0,
+                         listeners: Optional[ListenerBus] = None,
+                         slot_caps: Optional[list] = None) -> dict:
+    """Per-block pipeline up to (and including) the transform chain
+    (EncodingTask::run :652-784). Returns the block state consumed by
+    _encode_block_phase2. The slot's post-entropy input-buffer regrow is
+    applied here (its value only depends on lengths known after the
+    transform), preserving the reference's sequential cap evolution even
+    when many blocks run phase 1 before any runs phase 2."""
     block = np.ascontiguousarray(np.asarray(block, dtype=np.uint8))
     block_len = len(block)
     t_type = transform_type
@@ -149,6 +146,10 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
     post_len = len(out)
     bctx.put("size", post_len)
 
+    # the entropy scratch regrows the slot's input buffer (:776-784)
+    slot_caps[0] = max(slot_caps[0], 256 * 1024, post_len,
+                       block_len + (block_len >> 3))
+
     data_size = 1 if post_len < 256 else (stats.log2(post_len) >> 3) + 1
     if data_size > 4:
         raise KanziError("Invalid block data length", Error.ERR_WRITE_FILE)
@@ -159,8 +160,27 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
                                checksum=checksum if checksum_bits else None,
                                hash_bits=checksum_bits))
 
+    return {"block_id": block_id, "mode": mode, "e_type": e_type,
+            "checksum": checksum, "checksum_bits": checksum_bits,
+            "out": out, "skip_flags": skip_flags,
+            "nb_transforms": nb_transforms, "post_len": post_len,
+            "bctx": bctx, "prepared_entropy": None}
+
+
+def _encode_block_phase2(st: dict,
+                         listeners: Optional[ListenerBus] = None) -> tuple:
+    """Entropy stage + payload assembly (EncodingTask::run :786-807)."""
+    block_id = st["block_id"]
+    mode = st["mode"]
+    out = st["out"]
+    post_len = st["post_len"]
+    skip_flags = st["skip_flags"]
+    checksum_bits = st["checksum_bits"]
+    checksum = st["checksum"]
+    data_size = ((mode >> 5) & 0x03) + 1
+
     obs = BitWriter()
-    if (mode & COPY_BLOCK_MASK) or nb_transforms <= 4:
+    if (mode & COPY_BLOCK_MASK) or st["nb_transforms"] <= 4:
         mode |= skip_flags >> 4
         obs.write_bits(mode, 8)
     else:
@@ -177,14 +197,12 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
                                checksum=checksum if checksum_bits else None,
                                hash_bits=checksum_bits))
 
-    ee = efactory.new_encoder(obs, bctx, e_type)
+    ee = efactory.new_encoder(obs, st["bctx"], st["e_type"])
+    if st["prepared_entropy"] is not None:
+        ee.prepared_device = st["prepared_entropy"]
     if ee.encode(out) != post_len:
         raise KanziError("Entropy coding failed", Error.ERR_PROCESS_BLOCK)
     ee.dispose()
-
-    # the entropy scratch regrows the slot's input buffer (:776-784)
-    slot_caps[0] = max(slot_caps[0], 256 * 1024, post_len,
-                       block_len + (block_len >> 3))
 
     written = obs.written()
     payload = obs.getvalue()
@@ -196,6 +214,60 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
                                hash_bits=checksum_bits,
                                skip_flags=skip_flags))
     return payload, written
+
+
+def encode_block(block: np.ndarray, block_id: int, ctx: Context,
+                 transform_type: int, entropy_type: int,
+                 checksum_bits: int = 0,
+                 listeners: Optional[ListenerBus] = None,
+                 slot_caps: Optional[list] = None) -> tuple:
+    """Per-block pipeline (EncodingTask::run :652-807).
+
+    Returns (payload_bytes, payload_bit_length). Pure function of the
+    block (given slot_caps) — safe to run concurrently for many blocks.
+
+    slot_caps = [input_capacity, work_capacity] models the task slot's
+    persistent buffers (they only grow across the blocks a slot handles,
+    and capacity gates transform-skip decisions); mutated in place.
+    """
+    st = _encode_block_phase1(block, block_id, ctx, transform_type,
+                              entropy_type, checksum_bits, listeners,
+                              slot_caps)
+    return _encode_block_phase2(st, listeners)
+
+
+ANS0_TYPE = 5
+
+
+def prepare_ans0_batch(states: list) -> None:
+    """Cross-block device batching: encode every eligible block's full
+    16 KiB ANS0 chunks in ONE device call (the TPU analog of the
+    reference's EncodingTask fan-out) and stash per-block slices for
+    phase 2. Mutates states in place."""
+    import kanzi_tpu.ops as ops
+    if not ops.ENABLED:
+        return
+    elig = [st for st in states
+            if st["e_type"] == ANS0_TYPE
+            and not (st["mode"] & COPY_BLOCK_MASK)
+            and st["post_len"] >= 16384]
+    if not elig:
+        return
+    from kanzi_tpu.ops import ans as dans
+    counts = [st["post_len"] // 16384 for st in elig]
+    chunks = np.concatenate(
+        [st["out"][:n * 16384].reshape(n, 16384)
+         for st, n in zip(elig, counts)])
+    hdr, bitlen, m, flat, plen = dans.encode_chunks_np(chunks)
+    offs = np.cumsum(plen) - plen
+    pos = 0
+    for st, n in zip(elig, counts):
+        sl = slice(pos, pos + n)
+        fstart = offs[pos]
+        fend = offs[pos + n - 1] + plen[pos + n - 1]
+        st["prepared_entropy"] = (hdr[sl], bitlen[sl], m[sl],
+                                  flat[fstart:fend], plen[sl])
+        pos += n
 
 
 def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
@@ -322,6 +394,12 @@ class CompressedWriter:
         self._closed = False
         # per task-slot persistent buffer capacities [input, work]
         self._slot_caps = [[0, 0] for _ in range(jobs)]
+        # cross-block device batching: queue phase-1 states and run one
+        # device call for all queued blocks' entropy chunks (TPU analog of
+        # the reference's EncodingTask fan-out); bounded by bytes queued
+        self._block_queue = []
+        self._batch_bytes_max = self.ctx.get_int(
+            "deviceBatchBytes", 256 * 1024 * 1024)
 
     # --- header (writeHeader :277-342) ---
     def _write_header(self) -> None:
@@ -361,14 +439,28 @@ class CompressedWriter:
         return len(data)
 
     def _emit_block(self, block: np.ndarray) -> None:
+        self._block_queue.append(block)
+        queued = sum(len(b) for b in self._block_queue)
+        if queued >= self._batch_bytes_max or len(self._block_queue) >= 64:
+            self._flush_blocks()
+
+    def _flush_blocks(self) -> None:
+        if not self._block_queue:
+            return
         self._write_header()
-        self._block_id += 1
-        slot = (self._block_id - 1) % self.jobs
-        payload, bits = encode_block(block, self._block_id, self.ctx,
-                                     self.transform_type, self.entropy_type,
-                                     self.checksum_bits, self.listeners,
-                                     slot_caps=self._slot_caps[slot])
-        self._commit(payload, bits)
+        states = []
+        for block in self._block_queue:
+            self._block_id += 1
+            slot = (self._block_id - 1) % self.jobs
+            states.append(_encode_block_phase1(
+                block, self._block_id, self.ctx, self.transform_type,
+                self.entropy_type, self.checksum_bits, self.listeners,
+                slot_caps=self._slot_caps[slot]))
+        self._block_queue.clear()
+        prepare_ans0_batch(states)
+        for st in states:
+            payload, bits = _encode_block_phase2(st, self.listeners)
+            self._commit(payload, bits)
 
     def _commit(self, payload: bytes, written: int) -> None:
         # ordered commit: [5b lw-3][lw bits bit-length][payload bits]
@@ -384,6 +476,7 @@ class CompressedWriter:
             block = bytes(self._pending)
             self._pending.clear()
             self._emit_block(np.frombuffer(block, dtype=np.uint8))
+        self._flush_blocks()
         self._write_header()  # empty input still emits a header
         # end of stream marker (:415-417)
         self._obs.write_bits(0, 5)

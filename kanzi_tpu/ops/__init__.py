@@ -15,7 +15,26 @@ Layout:
 - ops.bwt       suffix-array (prefix doubling) BWT forward/inverse
 """
 
+import os as _os
+
 ENABLED = True
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-compile of the kernels is
+    expensive (~tens of seconds through a TPU tunnel); cache survives
+    across CLI invocations."""
+    try:
+        import jax
+        cache_dir = _os.environ.get("KANZI_TPU_JAX_CACHE",
+                                    "/tmp/kanzi_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()
 
 
 def disable():

@@ -31,6 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 LOG_RANGE = 12                    # order-0 default (ANSRangeEncoder.cpp:29)
 SCALE = 1 << LOG_RANGE
@@ -100,57 +102,310 @@ def _histogram(chunks: jnp.ndarray) -> jnp.ndarray:
         rows, chunks.astype(jnp.int32)].add(1)
 
 
+def histogram_host(chunks: np.ndarray) -> np.ndarray:
+    """Per-chunk byte histogram on host (XLA scatter-add histograms run at
+    ~100 MB/s on TPU; one bincount pass over the raw bytes is faster and
+    the [C,256] result uploads in one small transfer)."""
+    return np.stack([np.bincount(row, minlength=256)
+                     for row in chunks]).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas table gather: out[c, i] = tbl[c, idx[c, i]] for 256-entry tables
+# ---------------------------------------------------------------------------
+
+_GATHER_G = 8  # chunk rows per program (sublane dim of a vreg)
+
+
+def _gather_kernel(idx_ref, t0_ref, t1_ref, o0_ref, o1_ref):
+    """Per program: gather two [G,256] uint32 tables at [G,N] indices.
+    tpu.dynamic_gather handles one 128-lane vreg along the gather dim, so
+    each table is split into two 128-wide halves combined by a select."""
+    a0 = t0_ref[:, :128]
+    b0 = t0_ref[:, 128:]
+    a1 = t1_ref[:, :128]
+    b1 = t1_ref[:, 128:]
+    n = idx_ref.shape[1]
+
+    def body(i, _):
+        s = idx_ref[:, pl.ds(i * 128, 128)]
+        sm = s & 127
+        hi = s >= 128
+        o0_ref[:, pl.ds(i * 128, 128)] = jnp.where(
+            hi, jnp.take_along_axis(b0, sm, axis=1),
+            jnp.take_along_axis(a0, sm, axis=1))
+        o1_ref[:, pl.ds(i * 128, 128)] = jnp.where(
+            hi, jnp.take_along_axis(b1, sm, axis=1),
+            jnp.take_along_axis(a1, sm, axis=1))
+        return 0
+
+    jax.lax.fori_loop(0, n // 128, body, 0)
+
+
+def gather_tables2(idx: jnp.ndarray, tbl0: jnp.ndarray, tbl1: jnp.ndarray):
+    """idx: [C, N] int32 in [0,256); tbl0/tbl1: [C, 256] uint32.
+    Returns (tbl0[c, idx], tbl1[c, idx]) as [C, N] uint32 each."""
+    c, n = idx.shape
+    G = _GATHER_G
+    return pl.pallas_call(
+        _gather_kernel,
+        grid=(c // G,),
+        in_specs=[
+            pl.BlockSpec((G, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((c, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((c, n), jnp.uint32)),
+    )(idx, tbl0, tbl1)
+
+
 # ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def ans0_encode_chunks(chunks: jnp.ndarray):
-    """Encode full 16 KiB chunks, 4 interleaved lanes each.
+def _mulhi32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """High 32 bits of a 32x32 unsigned multiply via 16-bit splits
+    (TPU-native: 4 muls + adds, no 64-bit emulation)."""
+    al, ah = a & 0xFFFF, a >> 16
+    bl, bh = b & 0xFFFF, b >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    mid = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)
+    return ah * bh + (lh >> 16) + (hl >> 16) + (mid >> 16)
 
-    chunks: [C, CHUNK] uint8.
-    Returns (freqs [C,256] i32, states [C,4] u32,
-             payload [C, PAYLOAD_MAX] u8, plen [C] i32).
-    Chunks whose alphabet has <= 1 symbol still produce outputs; the host
-    must skip their payload (header-only chunks, ANSRangeEncoder.cpp:182).
-    """
+
+def _encode_core(chunks: jnp.ndarray, hist=None, use_pallas: bool = True):
+    """Histogram + normalize + 4-lane backward scan.
+
+    The scan body is pure elementwise VPU math: every per-symbol table
+    value (invFreq, bias, cmplFreq, shift -- ANSEncSymbol::reset,
+    ANSRangeEncoder.hpp:92-131) is gathered for the whole symbol sequence
+    BEFORE the scan in one bandwidth-bound batched gather. q = floor(st/f)
+    uses the reference's Granlund-Montgomery multiply with a 16-bit-split
+    mulhi, so no integer division or 64-bit ops appear in the loop.
+
+    Returns (freqs [C,256] i32, states [C,4] u32, and the renorm stream in
+    emission order: fo/ho/lo [C, CHUNK] flag + (hi,lo) bytes, plen [C])."""
     c = chunks.shape[0]
-    hist = _histogram(chunks)
+    if hist is None:
+        hist = _histogram(chunks)
     freqs = jax.vmap(_normalize_one)(hist)
-    fu = freqs.astype(jnp.uint32)
+    f32_ = freqs.astype(jnp.uint32)
     cum = (jnp.cumsum(freqs, axis=1) - freqs).astype(jnp.uint32)
+
+    # per-symbol encode constants (ANSEncSymbol::reset)
+    small = f32_ < 2
+    fx = jnp.maximum(f32_, 2)
+    shift = _bit_length_dev(fx - 1).astype(jnp.uint32)    # ceil(log2 f), f>=2
+    # inv = ceil(2^(shift+31) / f) computed in two uint32 division steps
+    # (2^(shift+31) overflows 32 bits): 2^31 = q1*f + r1;
+    # 2^(shift+31) = (q1<<shift)*f + (r1<<shift), r1<<shift < 2^24
+    q1 = jnp.uint32(0x80000000) // fx
+    r1 = jnp.uint32(0x80000000) - q1 * fx
+    t2 = r1 << shift
+    q2 = t2 // fx
+    r2 = t2 - q2 * fx
+    inv = jnp.where(small, jnp.uint32(0xFFFFFFFF),
+                    (q1 << shift) + q2 + (r2 > 0).astype(jnp.uint32))
+    bias = jnp.where(small, cum + SCALE - 1, cum)
+    cmpl = SCALE - f32_
+    # pack (bias 13b | cmpl 12b | s' 4b) with s' = invShift - 31
+    sprime = jnp.where(small, jnp.uint32(1), shift)
+    packed = (bias << 16) | (cmpl << 4) | sprime
 
     # encode order: step t, lane l encodes chunk[CHUNK-1 - 4t - l]
     sym_seq = chunks.reshape(c, STEPS, 4)[:, ::-1, ::-1]
-    sym_seq = jnp.transpose(sym_seq, (1, 0, 2))          # [T, C, 4]
+    sym_flat = sym_seq.reshape(c, STEPS * 4).astype(jnp.int32)
+    if use_pallas:
+        pk_seq, inv_seq = gather_tables2(sym_flat, packed, inv)
+    else:  # mesh/dryrun path: plain XLA gathers partition under GSPMD
+        pk_seq = jnp.take_along_axis(packed, sym_flat, axis=1)
+        inv_seq = jnp.take_along_axis(inv, sym_flat, axis=1)
+    pk_seq = jnp.transpose(pk_seq.reshape(c, STEPS, 4), (1, 0, 2))
+    inv_seq = jnp.transpose(inv_seq.reshape(c, STEPS, 4), (1, 0, 2))
 
-    def step(st, sym):
-        s = sym.astype(jnp.int32)
-        f = jnp.take_along_axis(fu, s, axis=1)            # [C,4]
-        cm = jnp.take_along_axis(cum, s, axis=1)
-        xmax = f << (31 - LOG_RANGE)
+    def step(st, xs):
+        pk, iv = xs
+        bias_ = pk >> 16
+        cmpl_ = (pk >> 4) & 0xFFF
+        sp = pk & 0xF
+        xmax = (SCALE - cmpl_) << (31 - LOG_RANGE)
         flag = st >= xmax
         lo = (st & 0xFF).astype(jnp.uint8)
         hi = ((st >> 8) & 0xFF).astype(jnp.uint8)
         st = jnp.where(flag, st >> 16, st)
-        q = st // f
-        st = (q << LOG_RANGE) + cm + (st - q * f)
+        q = _mulhi32(st, iv) >> (sp - 1)                  # inv_shift - 32
+        st = st + bias_ + q * cmpl_
         return st, (flag, hi, lo)
 
     st0 = jnp.full((c, 4), ANS_TOP, dtype=jnp.uint32)
-    states, (flags, his, los) = jax.lax.scan(step, st0, sym_seq)
+    states, (flags, his, los) = jax.lax.scan(step, st0, (pk_seq, inv_seq))
 
-    # payload: reversed steps x reversed lanes, (hi,lo) per renorm
+    # payload emission order: reversed steps x reversed lanes, (hi,lo)
     def reorder(a):                                       # [T,C,4] -> [C,T*4]
         return jnp.transpose(a[::-1, :, ::-1], (1, 0, 2)).reshape(c, STEPS * 4)
 
     fo = reorder(flags)
-    ho = reorder(his)
-    lo_ = reorder(los)
     fi = fo.astype(jnp.int32)
-    pos = jnp.cumsum(fi, axis=1) - fi                     # exclusive
     plen = 2 * jnp.sum(fi, axis=1)
-    col = jnp.where(fo, 2 * pos, PAYLOAD_MAX)             # out-of-range drops
+    return freqs, states, fo, reorder(his), reorder(los), plen
+
+
+def _bit_length_dev(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact integer bit_length for 0 <= x < 2^13 (12 comparisons)."""
+    acc = jnp.zeros_like(x)
+    for i in range(13):
+        acc = acc + (x >= (1 << i)).astype(x.dtype)
+    return acc
+
+
+def _pack_headers_device(freqs, states, plen, lr: int = LOG_RANGE):
+    """Device-side port of pack_ans0_headers (see that function for the
+    wire layout and reference citations). Returns (hdr [C, HDR_MAX_BITS/8]
+    u8, bitlen [C] i32, alpha_size [C] i32)."""
+    C = freqs.shape[0]
+    f = freqs.astype(jnp.int32)
+    present = f > 0
+    m = jnp.sum(present.astype(jnp.int32), axis=1)
+    rank = jnp.cumsum(present, axis=1) - present
+    rows = jnp.arange(C, dtype=jnp.int32)[:, None]
+    fbr = jnp.zeros((C, 257), jnp.int32).at[
+        rows, jnp.where(present, rank, 256)].set(f)[:, :256]
+    last_sym = 255 - jnp.argmax(present[:, ::-1], axis=1).astype(jnp.int32)
+
+    full = m == 256
+    partial = ~full
+    last_mask = last_sym >> 3
+    mask_bytes = jnp.sum(present.reshape(C, 32, 8).astype(jnp.int32)
+                         * (1 << jnp.arange(8))[None, None, :], axis=2)
+
+    NG, MK = 43, 8
+    chk = jnp.where(m >= 64, 8, 6)[:, None, None]
+    g = jnp.arange(NG)[None, :, None]
+    k = jnp.arange(MK)[None, None, :]
+    j = 1 + g * chk + k
+    valid_mem = (k < chk) & (j < m[:, None, None])
+    rows3 = jnp.arange(C, dtype=jnp.int32)[:, None, None]
+    vals_mem = jnp.where(valid_mem, fbr[rows3, jnp.minimum(j, 255)] - 1, 0)
+    group_valid = (1 + jnp.arange(NG)[None, :] * chk[:, :, 0]) < m[:, None]
+    logmax = _bit_length_dev(jnp.max(vals_mem, axis=2)) * group_valid
+    llr = int(lr).bit_length()
+
+    multi = m > 1
+    v = plen.astype(jnp.int32)
+    var_n = jnp.where(v < 128, 1, jnp.where(v < 16384, 2, 3))
+    var0 = jnp.where(var_n == 1, v, 0x80 | (v & 0x7F))
+    var1 = jnp.where(var_n == 2, v >> 7,
+                     jnp.where(var_n == 3, 0x80 | ((v >> 7) & 0x7F), 0))
+    var2 = jnp.where(var_n == 3, v >> 14, 0)
+
+    S = 1 + 3 + 32 + NG * (1 + MK) + 3 + 4
+    zero = jnp.zeros((C,), jnp.int32)
+    mi = multi.astype(jnp.int32)
+    # slot (value, nbits) columns assembled in wire order
+    val_cols = [jnp.full((C,), lr - 8, jnp.int32),
+                partial.astype(jnp.int32), zero, last_mask]
+    bit_cols = [jnp.full((C,), 3, jnp.int32),
+                jnp.ones((C,), jnp.int32), full.astype(jnp.int32),
+                5 * partial.astype(jnp.int32)]
+    vals = jnp.stack(val_cols, axis=1)
+    nbits = jnp.stack(bit_cols, axis=1)
+    mask_slot = jnp.arange(32)[None, :]
+    mask_nb = 8 * (partial[:, None] & (mask_slot <= last_mask[:, None]))
+    vals = jnp.concatenate([vals, mask_bytes], axis=1)
+    nbits = jnp.concatenate([nbits, mask_nb.astype(jnp.int32)], axis=1)
+    gvals = jnp.concatenate([logmax[:, :, None], vals_mem], axis=2)
+    gbits = jnp.concatenate(
+        [(llr * (group_valid & multi[:, None]))[:, :, None],
+         jnp.where(valid_mem & (logmax[:, :, None] > 0)
+                   & multi[:, None, None], logmax[:, :, None], 0)], axis=2)
+    vals = jnp.concatenate([vals, gvals.reshape(C, -1)], axis=1)
+    nbits = jnp.concatenate([nbits, gbits.reshape(C, -1)], axis=1)
+    var_nb = 8 * ((jnp.arange(3)[None, :] < var_n[:, None]) & multi[:, None])
+    vals = jnp.concatenate([vals, jnp.stack([var0, var1, var2], axis=1)],
+                           axis=1)
+    nbits = jnp.concatenate([nbits, var_nb.astype(jnp.int32)], axis=1)
+    vals_u = jnp.concatenate([vals.astype(jnp.uint32),
+                              states.astype(jnp.uint32)], axis=1)
+    nbits = jnp.concatenate([nbits, (32 * mi)[:, None]
+                             * jnp.ones((1, 4), jnp.int32)], axis=1)
+
+    starts = jnp.cumsum(nbits, axis=1) - nbits
+    jj = jnp.arange(32)[None, None, :]
+    valid = jj < nbits[:, :, None]
+    shift = jnp.maximum(nbits[:, :, None] - 1 - jj, 0).astype(jnp.uint32)
+    bitval = ((vals_u[:, :, None] >> shift) & 1).astype(jnp.uint8)
+    pos = starts[:, :, None] + jj
+    flat_idx = jnp.where(valid, rows3 * HDR_MAX_BITS + pos, C * HDR_MAX_BITS)
+    bits = jnp.zeros((C * HDR_MAX_BITS + 1,), jnp.uint8).at[
+        flat_idx].set(bitval, mode="drop")[:C * HDR_MAX_BITS]
+    powers = (1 << jnp.arange(7, -1, -1)).astype(jnp.int32)
+    hdr = jnp.sum(bits.reshape(C, HDR_MAX_BITS // 8, 8).astype(jnp.int32)
+                  * powers[None, None, :], axis=2).astype(jnp.uint8)
+    bitlen = jnp.sum(nbits, axis=1)
+    return hdr, bitlen, m
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def ans0_encode_chunks(chunks, hist):
+    """Backend dispatch: the Pallas gather kernel needs a real TPU;
+    CPU (tests / driver dryrun) uses the XLA-only path."""
+    return _ans0_encode_impl(chunks, hist, use_pallas=_on_tpu())
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _ans0_encode_impl(chunks: jnp.ndarray, hist: jnp.ndarray,
+                      use_pallas: bool = True):
+    """Encode full 16 KiB chunks, 4 interleaved lanes each.
+
+    chunks: [C, CHUNK] uint8; hist: [C, 256] int32 per-chunk histograms
+    (host-computed: one bincount pass beats a device scatter-add).
+    Returns (hdr [C,512] u8, bitlen [C] i32, m [C] i32,
+             flat_payload [C*PAYLOAD_MAX] u8, plen [C] i32) where chunk c's
+    payload lives at flat[sum(plen[:c]) : +plen[c]] -- compacted so the
+    host transfers only ~compressed-size bytes over the device link.
+    hdr holds the complete per-chunk header bits (lr, alphabet, freqs,
+    varint payload size, 4x32b states); chunks whose alphabet has <= 1
+    symbol are header-only (m <= 1: skip their payload,
+    ANSRangeEncoder.cpp:182).
+    """
+    c = chunks.shape[0]
+    freqs, states, fo, ho, lo_, plen = _encode_core(chunks, hist,
+                                                    use_pallas=use_pallas)
+    fi = fo.astype(jnp.int32)
+    pos = jnp.cumsum(fi, axis=1) - fi                     # exclusive, per chunk
+    chunk_off = jnp.cumsum(plen) - plen                   # [C]
+    total = PAYLOAD_MAX * c
+    col = jnp.where(fo, chunk_off[:, None] + 2 * pos, total)
+    flat = jnp.zeros((total + 1,), jnp.uint8)
+    flat = flat.at[col].set(ho, mode="drop")
+    flat = flat.at[col + 1].set(lo_, mode="drop")
+    hdr, bitlen, m = _pack_headers_device(freqs, states, plen)
+    return hdr, bitlen, m, flat[:total], plen.astype(jnp.int32)
+
+
+@jax.jit
+def ans0_encode_chunks_padded(chunks: jnp.ndarray):
+    """Mesh-friendly variant: payload padded per chunk [C, PAYLOAD_MAX]
+    (chunk data never crosses a shard boundary; XLA-only ops so GSPMD can
+    partition it)."""
+    c = chunks.shape[0]
+    freqs, states, fo, ho, lo_, plen = _encode_core(chunks, use_pallas=False)
+    fi = fo.astype(jnp.int32)
+    pos = jnp.cumsum(fi, axis=1) - fi
+    col = jnp.where(fo, 2 * pos, PAYLOAD_MAX)
     rows = jnp.arange(c, dtype=jnp.int32)[:, None]
     payload = jnp.zeros((c, PAYLOAD_MAX), jnp.uint8)
     payload = payload.at[rows, col].set(ho, mode="drop")
@@ -209,16 +464,179 @@ def ans0_decode_chunks(freqs: jnp.ndarray, states: jnp.ndarray,
     return out, cur
 
 
+def _bucket(c: int) -> int:
+    """Pad batch sizes to buckets (pow2 up to 256, then multiples of 256)
+    so jit compiles a bounded set of shapes instead of one per count."""
+    b = 8
+    while b < min(c, 256):
+        b <<= 1
+    if c > 256:
+        b = -(-c // 256) * 256
+    return b
+
+
 def encode_chunks_np(chunks: np.ndarray):
-    """numpy-facing wrapper; returns numpy arrays."""
-    freqs, states, payload, plen = ans0_encode_chunks(jnp.asarray(chunks))
-    return (np.asarray(freqs), np.asarray(states),
-            np.asarray(payload), np.asarray(plen))
+    """numpy-facing wrapper. Pads the batch to a shape bucket (zero chunks
+    are single-symbol: plen 0, harmless) and trims.
+
+    Returns (hdr [C,512] u8, bitlen [C], m [C], flat_payload [total] u8,
+    plen [C]): chunk c's payload = flat[off[c]:off[c]+plen[c]] with
+    off = exclusive cumsum of plen. Only ~total+header bytes cross the
+    device->host link."""
+    c = chunks.shape[0]
+    b = _bucket(c)
+    if b != c:
+        chunks = np.concatenate(
+            [chunks, np.zeros((b - c, chunks.shape[1]), np.uint8)])
+    hist = histogram_host(chunks)
+    hdr, bitlen, m, flat, plen = ans0_encode_chunks(jnp.asarray(chunks),
+                                                    jnp.asarray(hist))
+    plen_np = np.asarray(plen)[:c]
+    total = int(plen_np.sum())
+    tb = min(-(-max(total, 1) // 65536) * 65536, flat.shape[0])
+    flat_np = np.asarray(flat[:tb])[:total]
+    return (np.asarray(hdr)[:c], np.asarray(bitlen)[:c], np.asarray(m)[:c],
+            flat_np, plen_np)
 
 
 def decode_chunks_np(freqs: np.ndarray, states: np.ndarray,
                      payload: np.ndarray):
-    out, cur = ans0_decode_chunks(jnp.asarray(freqs),
+    c = freqs.shape[0]
+    b = _bucket(c)
+    if b != c:
+        pad = b - c
+        freqs = np.concatenate(
+            [freqs.astype(np.int32),
+             np.full((pad, 256), SCALE // 256, np.int32)])
+        states = np.concatenate(
+            [states.astype(np.uint32),
+             np.full((pad, 4), ANS_TOP, np.uint32)])
+        payload = np.concatenate(
+            [payload, np.zeros((pad, payload.shape[1]), np.uint8)])
+    out, cur = ans0_decode_chunks(jnp.asarray(freqs.astype(np.int32)),
                                   jnp.asarray(states.astype(np.uint32)),
                                   jnp.asarray(payload))
-    return np.asarray(out), np.asarray(cur)
+    return np.asarray(out)[:c], np.asarray(cur)[:c]
+
+
+# ---------------------------------------------------------------------------
+# vectorized header packing (host, numpy)
+# ---------------------------------------------------------------------------
+
+HDR_MAX_BITS = 4096  # worst case ~3.6 kbit (partial alphabet, 12-bit freqs)
+
+
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length for x < 2^24 (exact via float log2)."""
+    return np.where(x <= 0, 0,
+                    np.floor(np.log2(np.maximum(x, 1))).astype(np.int64) + 1)
+
+
+def pack_ans0_headers(freqs: np.ndarray, states: np.ndarray,
+                      plen: np.ndarray, lr: int = LOG_RANGE):
+    """Build the per-chunk ANS0 header bitstrings for a batch of chunks.
+
+    Covers: 3b (lr-8) | encodeAlphabet | grouped log-packed freqs-1 |
+    varint payload length | 4x32b states (ANSRangeEncoder.cpp:83-155 +
+    encodeChunk prologue). Chunks with alphabet size <= 1 stop after the
+    alphabet (header-only). Returns (bytes [C, HDR_MAX_BITS/8] uint8,
+    bitlen [C] int64, alpha_size [C] int64).
+
+    Fully vectorized across chunks: a fixed slot table (value, nbits) per
+    chunk is scattered into a bit matrix and packed -- the same
+    prefix-sum formulation as utils.bitpack.pack_bits.
+    """
+    freqs = freqs.astype(np.int64)
+    C = freqs.shape[0]
+    rows = np.arange(C)[:, None]
+    present = freqs > 0
+    m = present.sum(1)                                    # alphabet size
+    rank = np.cumsum(present, 1) - present
+    # freqs ordered by alphabet rank
+    fbr = np.zeros((C, 257), np.int64)
+    fbr[rows, np.where(present, rank, 256)] = freqs
+    fbr = fbr[:, :256]
+    last_sym = 255 - np.argmax(present[:, ::-1], 1)
+
+    full = m == 256
+    partial = ~full
+    last_mask = last_sym >> 3
+    mask_bytes = (present.reshape(C, 32, 8) *
+                  (1 << np.arange(8))[None, None, :]).sum(2)
+
+    NG, MK = 43, 8                                        # max groups/members
+    chk = np.where(m >= 64, 8, 6)[:, None, None]
+    g = np.arange(NG)[None, :, None]
+    k = np.arange(MK)[None, None, :]
+    j = 1 + g * chk + k
+    valid_mem = (k < chk) & (j < m[:, None, None])
+    rows3 = np.arange(C)[:, None, None]
+    vals_mem = np.where(valid_mem, fbr[rows3, np.minimum(j, 255)] - 1, 0)
+    group_valid = (1 + np.arange(NG)[None, :] * chk[:, :, 0]) < m[:, None]
+    logmax = _bit_length(vals_mem.max(2)) * group_valid
+    llr = int(lr).bit_length()
+
+    multi = m > 1
+    v = plen.astype(np.int64)
+    var_n = np.where(v < 128, 1, np.where(v < 16384, 2, 3))
+    var_b = np.zeros((C, 3), np.int64)
+    var_b[:, 0] = np.where(var_n == 1, v, 0x80 | (v & 0x7F))
+    var_b[:, 1] = np.where(var_n == 2, v >> 7,
+                           np.where(var_n == 3, 0x80 | ((v >> 7) & 0x7F), 0))
+    var_b[:, 2] = np.where(var_n == 3, v >> 14, 0)
+
+    # slot table: values [C,S] / nbits [C,S]
+    S = 1 + 3 + 32 + NG * (1 + MK) + 3 + 4
+    vals = np.zeros((C, S), np.int64)
+    nbits = np.zeros((C, S), np.int64)
+    s = 0
+    vals[:, s] = lr - 8
+    nbits[:, s] = 3
+    s += 1
+    # alphabet: full -> 1b 0, 1b 0; partial -> 1b 1, 5b lastMask
+    vals[:, s] = partial.astype(np.int64)
+    nbits[:, s] = 1
+    vals[:, s + 1] = 0
+    nbits[:, s + 1] = full.astype(np.int64)
+    vals[:, s + 2] = last_mask
+    nbits[:, s + 2] = 5 * partial
+    s += 3
+    mask_slot = np.arange(32)[None, :]
+    vals[:, s:s + 32] = mask_bytes
+    nbits[:, s:s + 32] = 8 * (partial[:, None] &
+                              (mask_slot <= last_mask[:, None]))
+    s += 32
+    # groups: logmax then members (gated on alphabet size > 1)
+    gslots = np.zeros((C, NG, 1 + MK), np.int64)
+    gbits = np.zeros((C, NG, 1 + MK), np.int64)
+    gslots[:, :, 0] = logmax
+    gbits[:, :, 0] = llr * (group_valid & multi[:, None])
+    gslots[:, :, 1:] = vals_mem
+    gbits[:, :, 1:] = np.where(valid_mem & (logmax[:, :, None] > 0)
+                               & multi[:, None, None],
+                               logmax[:, :, None], 0)
+    vals[:, s:s + NG * (1 + MK)] = gslots.reshape(C, -1)
+    nbits[:, s:s + NG * (1 + MK)] = gbits.reshape(C, -1)
+    s += NG * (1 + MK)
+    vals[:, s:s + 3] = var_b
+    nbits[:, s:s + 3] = 8 * ((np.arange(3)[None, :] < var_n[:, None])
+                             & multi[:, None])
+    s += 3
+    vals[:, s:s + 4] = states.astype(np.int64)
+    nbits[:, s:s + 4] = 32 * multi[:, None]
+    s += 4
+
+    # scatter bits -> [C, HDR_MAX_BITS] -> packbits
+    starts = np.cumsum(nbits, 1) - nbits
+    jj = np.arange(32)[None, None, :]
+    valid = jj < nbits[:, :, None]
+    shift = np.maximum(nbits[:, :, None] - 1 - jj, 0)
+    bitval = ((vals[:, :, None] >> shift) & 1).astype(np.uint8)
+    pos = starts[:, :, None] + jj
+    flat = np.where(valid, rows3 * HDR_MAX_BITS + pos, C * HDR_MAX_BITS)
+    bits = np.zeros(C * HDR_MAX_BITS + 1, np.uint8)
+    bits[flat.reshape(-1)] = bitval.reshape(-1)
+    hdr = np.packbits(bits[:C * HDR_MAX_BITS].reshape(C, HDR_MAX_BITS),
+                      axis=1)
+    bitlen = nbits.sum(1)
+    return hdr, bitlen, m

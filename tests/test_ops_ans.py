@@ -31,9 +31,16 @@ def _chunk_corpus():
     ])
 
 
+def _encode_padded(chunks):
+    """Run the mesh-variant kernel and return numpy results."""
+    freqs, states, payload, plen = dans.ans0_encode_chunks_padded(chunks)
+    return (np.asarray(freqs), np.asarray(states), np.asarray(payload),
+            np.asarray(plen))
+
+
 def test_encode_matches_numpy_golden():
     chunks = _chunk_corpus()
-    freqs, states, payload, plen = dans.encode_chunks_np(chunks)
+    freqs, states, payload, plen = _encode_padded(chunks)
     for i, ch in enumerate(chunks):
         hist = np.bincount(ch, minlength=256).astype(np.int64)
         f = hist.copy()
@@ -52,9 +59,26 @@ def test_encode_matches_numpy_golden():
         assert renorm == payload[i, :plen[i]].tobytes()
 
 
+def test_device_headers_match_numpy_packer():
+    """Device-side header bit packing == the numpy golden packer, and the
+    flat payload layout == the padded layout."""
+    chunks = _chunk_corpus()
+    freqs, states, payload, plen = _encode_padded(chunks)
+    hdr_d, bitlen_d, m_d, flat, plen_d = dans.encode_chunks_np(chunks)
+    hdr_n, bitlen_n, m_n = dans.pack_ans0_headers(freqs, states, plen)
+    assert np.array_equal(plen, plen_d)
+    assert np.array_equal(bitlen_d, bitlen_n)
+    assert np.array_equal(m_d, m_n)
+    assert np.array_equal(hdr_d, hdr_n)
+    offs = np.cumsum(plen) - plen
+    for i in range(len(chunks)):
+        assert (flat[offs[i]:offs[i] + plen[i]].tobytes()
+                == payload[i, :plen[i]].tobytes())
+
+
 def test_device_decode_roundtrip():
     chunks = _chunk_corpus()
-    freqs, states, payload, plen = dans.encode_chunks_np(chunks)
+    freqs, states, payload, plen = _encode_padded(chunks)
     pay2 = np.zeros((len(chunks), dans.PAYLOAD_MAX + 2), np.uint8)
     pay2[:, :dans.PAYLOAD_MAX] = payload
     out, cur = dans.decode_chunks_np(freqs, states, pay2)
