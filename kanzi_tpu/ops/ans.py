@@ -336,18 +336,34 @@ def _pack_headers_device(freqs, states, plen, lr: int = LOG_RANGE):
     nbits = jnp.concatenate([nbits, (32 * mi)[:, None]
                              * jnp.ones((1, 4), jnp.int32)], axis=1)
 
+    # word-packed bit assembly: each slot's n-bit value lands in at most
+    # two 32-bit words of the header stream; disjoint bits make OR == ADD,
+    # so two S-element scatter-adds replace an S*32-element bit scatter
     starts = jnp.cumsum(nbits, axis=1) - nbits
-    jj = jnp.arange(32)[None, None, :]
-    valid = jj < nbits[:, :, None]
-    shift = jnp.maximum(nbits[:, :, None] - 1 - jj, 0).astype(jnp.uint32)
-    bitval = ((vals_u[:, :, None] >> shift) & 1).astype(jnp.uint8)
-    pos = starts[:, :, None] + jj
-    flat_idx = jnp.where(valid, rows3 * HDR_MAX_BITS + pos, C * HDR_MAX_BITS)
-    bits = jnp.zeros((C * HDR_MAX_BITS + 1,), jnp.uint8).at[
-        flat_idx].set(bitval, mode="drop")[:C * HDR_MAX_BITS]
-    powers = (1 << jnp.arange(7, -1, -1)).astype(jnp.int32)
-    hdr = jnp.sum(bits.reshape(C, HDR_MAX_BITS // 8, 8).astype(jnp.int32)
-                  * powers[None, None, :], axis=2).astype(jnp.uint8)
+    w = starts >> 5
+    b = starts & 31
+    nbu = nbits.astype(jnp.uint32)
+    over = jnp.maximum(b + nbits - 32, 0).astype(jnp.uint32)
+    vmask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                      (jnp.uint32(1) << nbu) - 1)
+    v = vals_u & vmask
+    c0 = jnp.where(nbits > 0,
+                   jnp.where(over > 0, v >> over,
+                             v << (32 - b.astype(jnp.uint32) - nbu)), 0)
+    c1 = jnp.where(over > 0, v << (32 - over), 0)
+    NW = HDR_MAX_BITS // 32
+    rows2 = jnp.arange(C, dtype=jnp.int32)[:, None]
+    idx0 = jnp.where(nbits > 0, rows2 * NW + w, C * NW)
+    words = jnp.zeros((C * NW + 1,), jnp.uint32)
+    words = words.at[idx0].add(c0, mode="drop")
+    # a spill past a chunk's last word cannot occur: headers stay well
+    # under HDR_MAX_BITS - 32 bits
+    words = words.at[jnp.where(over > 0, idx0 + 1, C * NW)].add(
+        c1, mode="drop")
+    words = words[:C * NW].reshape(C, NW)
+    sh = (24 - jnp.arange(4) * 8)[None, None, :].astype(jnp.uint32)
+    hdr = ((words[:, :, None] >> sh) & 0xFF).astype(
+        jnp.uint8).reshape(C, HDR_MAX_BITS // 8)
     bitlen = jnp.sum(nbits, axis=1)
     return hdr, bitlen, m
 
@@ -386,14 +402,16 @@ def _ans0_encode_impl(chunks: jnp.ndarray, hist: jnp.ndarray,
                                                     use_pallas=use_pallas)
     fi = fo.astype(jnp.int32)
     pos = jnp.cumsum(fi, axis=1) - fi                     # exclusive, per chunk
-    chunk_off = jnp.cumsum(plen) - plen                   # [C]
-    total = PAYLOAD_MAX * c
-    col = jnp.where(fo, chunk_off[:, None] + 2 * pos, total)
-    flat = jnp.zeros((total + 1,), jnp.uint8)
-    flat = flat.at[col].set(ho, mode="drop")
-    flat = flat.at[col + 1].set(lo_, mode="drop")
+    chunk_off = jnp.cumsum(plen >> 1) - (plen >> 1)       # in u16 units
+    total16 = PAYLOAD_MAX * c // 2
+    col = jnp.where(fo, chunk_off[:, None] + pos, total16)
+    # (hi,lo) big-endian byte pair == little-endian u16 (lo<<8)|hi: the
+    # host views the transferred u16 buffer as bytes directly
+    w16 = (lo_.astype(jnp.uint16) << 8) | ho.astype(jnp.uint16)
+    flat16 = jnp.zeros((total16 + 1,), jnp.uint16)
+    flat16 = flat16.at[col].set(w16, mode="drop")
     hdr, bitlen, m = _pack_headers_device(freqs, states, plen)
-    return hdr, bitlen, m, flat[:total], plen.astype(jnp.int32)
+    return hdr, bitlen, m, flat16[:total16], plen.astype(jnp.int32)
 
 
 @jax.jit
@@ -489,12 +507,12 @@ def encode_chunks_np(chunks: np.ndarray):
         chunks = np.concatenate(
             [chunks, np.zeros((b - c, chunks.shape[1]), np.uint8)])
     hist = histogram_host(chunks)
-    hdr, bitlen, m, flat, plen = ans0_encode_chunks(jnp.asarray(chunks),
-                                                    jnp.asarray(hist))
+    hdr, bitlen, m, flat16, plen = ans0_encode_chunks(jnp.asarray(chunks),
+                                                      jnp.asarray(hist))
     plen_np = np.asarray(plen)[:c]
-    total = int(plen_np.sum())
-    tb = min(-(-max(total, 1) // 65536) * 65536, flat.shape[0])
-    flat_np = np.asarray(flat[:tb])[:total]
+    total16 = int(plen_np.sum()) >> 1
+    tb = min(-(-max(total16, 1) // 32768) * 32768, flat16.shape[0])
+    flat_np = np.asarray(flat16[:tb])[:total16].view(np.uint8)
     return (np.asarray(hdr)[:c], np.asarray(bitlen)[:c], np.asarray(m)[:c],
             flat_np, plen_np)
 
