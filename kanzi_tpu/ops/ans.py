@@ -165,6 +165,80 @@ def gather_tables2(idx: jnp.ndarray, tbl0: jnp.ndarray, tbl1: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Pallas stream compaction: pack flagged u16s of each row left, then DMA
+# each dense row to its global offset (XLA scatter runs ~30 MB/s on TPU;
+# this is a log-step butterfly + overlapping writes)
+# ---------------------------------------------------------------------------
+
+_COMPACT_G = 8          # rows per program
+_ROW16 = CHUNK          # sparse row length in u16 slots
+
+
+def _compact_kernel(vm_ref, dense_ref):
+    """vm_ref [G, ROW] i32: bit16 = valid flag, low 16 bits = u16 value.
+    Monotone-displacement butterfly packs valid values left in log steps
+    (a stale copy left behind by a move is always overwritten before the
+    final step that targets its slot -- fuzz-verified, see
+    tests/test_ops_ans.py::test_butterfly_compaction_fuzz)."""
+    g, row = vm_ref.shape
+    vm = vm_ref[:]
+    mask = (vm >> 16) & 1
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (g, row), 1)
+
+    # exclusive prefix sum of mask along lanes (log-step shift-add)
+    pre = mask
+    sh = 1
+    while sh < row:
+        rolled = pltpu.roll(pre, sh, axis=1)
+        pre = pre + jnp.where(lanes >= sh, rolled, 0)
+        sh <<= 1
+    rank = pre - mask                                   # exclusive
+
+    v = vm & 0xFFFF
+    d = jnp.where(mask == 1, lanes - rank, 0)
+    sh = 1
+    while sh < row:
+        cv = pltpu.roll(v, row - sh, axis=1)   # == roll by -sh (circular)
+        cd = pltpu.roll(d, row - sh, axis=1)
+        take = (cd & sh) != 0
+        v = jnp.where(take, cv, v)
+        d = jnp.where(take, cd - sh, d)
+        sh <<= 1
+    dense_ref[:] = v.astype(jnp.uint16)
+
+
+def compact_rows(vm: jnp.ndarray, off16: jnp.ndarray, total16: int):
+    """vm: [C, ROW] i32 (flag<<16 | value); off16: [C] i32 destination u16
+    offsets (non-decreasing; consecutive rows' payloads contiguous).
+    Returns flat [total16 + ROW] u16 with row r's first plen16[r] values
+    at off16[r].
+
+    Pallas packs each row's flagged values left; the global assembly is a
+    sequential dynamic_update_slice scan writing each FULL row at its
+    offset -- a later row's write overwrites the previous row's tail
+    garbage (row payloads are <= ROW/2 so each write covers the gap)."""
+    c, row = vm.shape
+    G = _COMPACT_G
+    dense = pl.pallas_call(
+        _compact_kernel,
+        grid=(c // G,),
+        in_specs=[pl.BlockSpec((G, row), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, row), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, row), jnp.uint16),
+    )(vm)
+
+    def body(flat, xs):
+        dense_row, off = xs
+        return jax.lax.dynamic_update_slice(flat, dense_row, (off,)), None
+
+    flat0 = jnp.zeros((total16 + row,), jnp.uint16)
+    flat, _ = jax.lax.scan(body, flat0, (dense, off16))
+    return flat
+
+
+# ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
 
@@ -400,18 +474,24 @@ def _ans0_encode_impl(chunks: jnp.ndarray, hist: jnp.ndarray,
     c = chunks.shape[0]
     freqs, states, fo, ho, lo_, plen = _encode_core(chunks, hist,
                                                     use_pallas=use_pallas)
-    fi = fo.astype(jnp.int32)
-    pos = jnp.cumsum(fi, axis=1) - fi                     # exclusive, per chunk
-    chunk_off = jnp.cumsum(plen >> 1) - (plen >> 1)       # in u16 units
+    plen16 = plen >> 1
+    chunk_off = (jnp.cumsum(plen16) - plen16).astype(jnp.int32)
     total16 = PAYLOAD_MAX * c // 2
-    col = jnp.where(fo, chunk_off[:, None] + pos, total16)
     # (hi,lo) big-endian byte pair == little-endian u16 (lo<<8)|hi: the
     # host views the transferred u16 buffer as bytes directly
-    w16 = (lo_.astype(jnp.uint16) << 8) | ho.astype(jnp.uint16)
-    flat16 = jnp.zeros((total16 + 1,), jnp.uint16)
-    flat16 = flat16.at[col].set(w16, mode="drop")
+    if use_pallas:
+        vm = ((fo.astype(jnp.int32) << 16) | (lo_.astype(jnp.int32) << 8)
+              | ho.astype(jnp.int32))
+        flat16 = compact_rows(vm, chunk_off, total16)
+    else:
+        fi = fo.astype(jnp.int32)
+        pos = jnp.cumsum(fi, axis=1) - fi                 # exclusive
+        col = jnp.where(fo, chunk_off[:, None] + pos, total16)
+        w16 = (lo_.astype(jnp.uint16) << 8) | ho.astype(jnp.uint16)
+        flat16 = jnp.zeros((total16 + 1,), jnp.uint16)
+        flat16 = flat16.at[col].set(w16, mode="drop")[:total16]
     hdr, bitlen, m = _pack_headers_device(freqs, states, plen)
-    return hdr, bitlen, m, flat16[:total16], plen.astype(jnp.int32)
+    return hdr, bitlen, m, flat16, plen.astype(jnp.int32)
 
 
 @jax.jit
