@@ -346,15 +346,24 @@ class ANSRangeDecoder(EntropyDecoder):
         return out[:count]
 
     def _decode_device(self, out: np.ndarray, queued) -> None:
-        """Batch-decode queued full 16 KiB chunks with the TPU kernel."""
+        """Batch-decode queued full 16 KiB chunks with the TPU kernel.
+        The compact payload stream (not per-chunk padded buffers) crosses
+        the host->device link; per-chunk rows are sliced out on device."""
         from kanzi_tpu.ops import ans as dans
         n = len(queued)
         freqs = np.stack([q[1][:256] for q in queued]).astype(np.int32)
         states = np.stack([q[2] for q in queued])
-        payload = np.zeros((n, dans.PAYLOAD_MAX + 2), dtype=np.uint8)
-        for i, q in enumerate(queued):
-            payload[i, :q[4]] = np.frombuffer(q[3], dtype=np.uint8)
-        dec, consumed = dans.decode_chunks_np(freqs, states, payload)
+        sizes = np.array([q[4] for q in queued], dtype=np.int64)
+        if dans._on_tpu() and not np.any(sizes & 1):
+            offs = (np.cumsum(sizes) - sizes).astype(np.int32)
+            flat = np.frombuffer(b"".join(q[3] for q in queued),
+                                 dtype=np.uint8)
+            dec, consumed = dans.ans0_decode_flat(freqs, states, flat, offs)
+        else:
+            payload = np.zeros((n, dans.PAYLOAD_MAX + 2), dtype=np.uint8)
+            for i, q in enumerate(queued):
+                payload[i, :q[4]] = np.frombuffer(q[3], dtype=np.uint8)
+            dec, consumed = dans.decode_chunks_np(freqs, states, payload)
         for i, (cstart, _, _, _, sz) in enumerate(queued):
             if consumed[i] != sz:
                 raise ValueError("ANS chunk payload size mismatch")

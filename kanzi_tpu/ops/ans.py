@@ -512,6 +512,204 @@ def ans0_encode_chunks_padded(chunks: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# decode (Pallas): carry-dependent table lookups need in-VMEM gathers --
+# XLA gathers inside a scan run ~20us/step, the kernel below runs the
+# whole 4096-step loop on-core
+# ---------------------------------------------------------------------------
+
+_DEC_G = 8
+
+
+def _ans0_decode_kernel(vt_ref, st_ref, pay_ref, out_ref, cur_ref,
+                        win_ref, base_ref):
+    """Decode G chunks x 4 interleaved lanes, 4096 steps, gather-only
+    (no cross-lane reductions in the loop).
+
+    vt_ref [G,4096] u32: per-VALUE table packed sym<<24|f<<12|cumExc
+    (one entry per state residue v = st & MASK); st_ref [G,128] u32
+    (lanes 0-3 = states); pay_ref [G,W] i32 (big-endian byte pair per
+    entry, cursor counts pairs); out_ref [G, STEPS] i32 (4 symbols word-
+    packed little-endian per step); cur_ref [G,128] i32 (lane 0 = pairs
+    consumed). Scratch: win_ref [G,256] i32 sliding payload window,
+    base_ref [G,128] i32 (lane 0 = window base, multiple of 128).
+
+    The symbol lookup is a 32-subtable tpu.dynamic_gather cascade; the
+    payload window refills one row per step round-robin (a row is visited
+    every G steps and consumes <= 4*G < 128 pairs in between, so one
+    128-pair shift per visit keeps rel in [0,256))."""
+    g = st_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
+    lane_live = lanes < 4
+
+    # init sliding windows
+    win_ref[:] = pay_ref[:, :256]
+    base_ref[:] = jnp.zeros((g, 128), jnp.int32)
+
+    def step(t, carry):
+        st, cur, outtile = carry              # [g,128] u32, [g,1], [g,128]
+        v = (st & MASK).astype(jnp.int32)
+        sub = v >> 7
+        vi = v & 127
+        acc = jnp.zeros((g, 128), jnp.uint32)
+        for k in range(32):
+            gk = jnp.take_along_axis(vt_ref[:, k * 128:(k + 1) * 128],
+                                     vi, axis=1)
+            acc = jnp.where(sub == k, gk, acc)
+        sym = (acc >> 24).astype(jnp.int32)
+        fs = (acc >> 12) & 0xFFF
+        exc = acc & 0xFFF
+        st2 = fs * (st >> LOG_RANGE) + (st & MASK) - exc
+        flag = (st2 < ANS_TOP) & lane_live
+        fi = flag.astype(jnp.int32)
+        # lanes consume pairs in order 3,2,1,0
+        fl = [fi[:, l:l + 1] for l in range(4)]
+        offs0 = fl[3] + fl[2] + fl[1]
+        offs1 = fl[3] + fl[2]
+        offs2 = fl[3]
+        # per-lane window index: idx[:, l] = rel + suffix-offset(l)
+        rel = cur - base_ref[:, :1]                       # [g,1]
+        idx = rel + jnp.where(lanes == 0, offs0,
+                              jnp.where(lanes == 1, offs1,
+                                        jnp.where(lanes == 2, offs2, 0)))
+        lo_half = idx < 128
+        im = idx & 127
+        w0 = jnp.take_along_axis(win_ref[:, :128], im, axis=1)
+        w1 = jnp.take_along_axis(win_ref[:, 128:], im, axis=1)
+        pairs = jnp.where(lo_half, w0, w1)
+        st3 = jnp.where(flag, (st2 << 16) | pairs.astype(jnp.uint32), st2)
+        cur = cur + fl[0] + fl[1] + fl[2] + fl[3]
+
+        # round-robin window refill: row r = t % g
+        for r in range(g):
+            @pl.when(((t & (g - 1)) == r)
+                     & (cur[r, 0] - base_ref[r, 0] >= 128))
+            def _():
+                newb = base_ref[r, 0] + 128
+                win_ref[r:r + 1, :128] = win_ref[r:r + 1, 128:]
+                win_ref[r:r + 1, 128:] = pay_ref[
+                    pl.ds(r, 1),
+                    pl.ds(pl.multiple_of(newb + 128, 128), 128)]
+                base_ref[r:r + 1, :] = jnp.full((1, 128), newb, jnp.int32)
+
+        # pack this step's 4 symbols into one little-endian word
+        word = (sym[:, 3:4] | (sym[:, 2:3] << 8) | (sym[:, 1:2] << 16)
+                | (sym[:, 0:1] << 24))
+        outtile = jnp.where(lanes == (t & 127), word, outtile)
+
+        @pl.when((t & 127) == 127)
+        def _():
+            off = pl.multiple_of((t >> 7) << 7, 128)
+            out_ref[:, pl.ds(off, 128)] = outtile
+
+        outtile = jnp.where((t & 127) == 127, 0, outtile)
+        return st3, cur, outtile
+
+    st0 = st_ref[:]
+    cur0 = jnp.zeros((g, 1), jnp.int32)
+    tile0 = jnp.zeros((g, 128), jnp.int32)
+    st, cur, _tile = jax.lax.fori_loop(0, STEPS, step, (st0, cur0, tile0))
+    cur_ref[:] = jnp.where(lanes == 0, cur, 0)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _decode_pallas_fn(c: int, wpad: int):
+    G = _DEC_G
+    fn = pl.pallas_call(
+        _ans0_decode_kernel,
+        grid=(c // G,),
+        in_specs=[
+            pl.BlockSpec((G, SCALE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, wpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, STEPS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((c, STEPS), jnp.int32),
+                   jax.ShapeDtypeStruct((c, 128), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((G, 256), jnp.int32),
+                        pltpu.VMEM((G, 128), jnp.int32)],
+    )
+
+    rowb = 2 * wpad
+
+    @jax.jit
+    def run(freqs_i32, states_u32, flat_pay, off_bytes):
+        f = jnp.minimum(freqs_i32.astype(jnp.uint32), jnp.uint32(SCALE - 1))
+        cum_exc = (jnp.cumsum(f, axis=1) - f)
+        syms = jnp.arange(256, dtype=jnp.uint32)[None, :]
+        packed = (syms << 24) | (f << 12) | cum_exc
+        rows = jnp.arange(c, dtype=jnp.int32)[:, None]
+        pos = jnp.where(f > 0, cum_exc.astype(jnp.int32), SCALE)
+        vt = jnp.zeros((c, SCALE + 1), jnp.uint32).at[
+            rows, pos].set(packed, mode="drop")[:, :SCALE]
+        vt = jax.lax.cummax(vt, axis=1)
+        st = jnp.zeros((c, 128), jnp.uint32).at[:, :4].set(states_u32)
+
+        # slice each chunk's payload row out of the compact byte stream
+        # (the compact stream is what crosses the host link)
+        def take_row(_, off):
+            return None, jax.lax.dynamic_slice(flat_pay, (off,), (rowb,))
+
+        _, prows = jax.lax.scan(take_row, None, off_bytes)       # [C, rowb]
+        pay32 = ((prows[:, 0::2].astype(jnp.int32) << 8)
+                 | prows[:, 1::2].astype(jnp.int32))
+        out, cur = fn(vt, st, pay32)
+        return out, cur[:, 0]
+
+    return run
+
+
+def ans0_decode_flat(freqs: np.ndarray, states: np.ndarray,
+                     flat_pay: np.ndarray, off_bytes: np.ndarray):
+    """freqs [C,256] i32; states [C,4] u32; flat_pay [total] u8 (all
+    chunks' payloads back to back); off_bytes [C] i32 (even byte offsets).
+    Returns (chunks [C,CHUNK] u8, consumed bytes [C])."""
+    c = freqs.shape[0]
+    b = _bucket(c)
+    if b != c:
+        pad = b - c
+        freqs = np.concatenate(
+            [freqs.astype(np.int32),
+             np.full((pad, 256), SCALE // 256, np.int32)])
+        states = np.concatenate(
+            [states.astype(np.uint32),
+             np.full((pad, 4), ANS_TOP, np.uint32)])
+        off_bytes = np.concatenate(
+            [off_bytes.astype(np.int32),
+             np.zeros(pad, np.int32)])
+    wpad = -(-(PAYLOAD_MAX // 2 + 2 + 384) // 128) * 128
+    rowb = 2 * wpad
+    flat_pay = np.concatenate([np.asarray(flat_pay, np.uint8),
+                               np.zeros(rowb, np.uint8)])
+    run = _decode_pallas_fn(b, wpad)
+    out, cur = run(jnp.asarray(freqs.astype(np.int32)),
+                   jnp.asarray(states.astype(np.uint32)),
+                   jnp.asarray(flat_pay),
+                   jnp.asarray(off_bytes.astype(np.int32)))
+    out_u8 = np.ascontiguousarray(np.asarray(out[:c])).view(np.uint8)
+    return out_u8.reshape(c, CHUNK), 2 * np.asarray(cur)[:c]
+
+
+def ans0_decode_chunks_pallas(freqs: np.ndarray, states: np.ndarray,
+                              payload: np.ndarray):
+    """Padded-2D convenience wrapper (tests): payload [C, >=2] u8 rows."""
+    c = freqs.shape[0]
+    # conservative: treat whole rows as payload; offsets = row starts
+    pay = np.ascontiguousarray(payload[:, :PAYLOAD_MAX + 2])
+    flat = pay.reshape(-1)
+    offs = (np.arange(c) * pay.shape[1]).astype(np.int32)
+    return ans0_decode_flat(freqs, states, flat, offs)
+
+
+# ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
 
@@ -600,6 +798,20 @@ def encode_chunks_np(chunks: np.ndarray):
 def decode_chunks_np(freqs: np.ndarray, states: np.ndarray,
                      payload: np.ndarray):
     c = freqs.shape[0]
+    if _on_tpu():
+        b = _bucket(c)
+        if b != c:
+            pad = b - c
+            freqs = np.concatenate(
+                [freqs.astype(np.int32),
+                 np.full((pad, 256), SCALE // 256, np.int32)])
+            states = np.concatenate(
+                [states.astype(np.uint32),
+                 np.full((pad, 4), ANS_TOP, np.uint32)])
+            payload = np.concatenate(
+                [payload, np.zeros((pad, payload.shape[1]), np.uint8)])
+        out, cur = ans0_decode_chunks_pallas(freqs, states, payload)
+        return out[:c], cur[:c]
     b = _bucket(c)
     if b != c:
         pad = b - c
