@@ -33,6 +33,14 @@ DECODING_BATCH_SIZE = 12
 TABLE_MASK = (1 << DECODING_BATCH_SIZE) - 1
 
 
+def _device_huffman_enabled() -> bool:
+    try:
+        import kanzi_tpu.ops as ops
+        return ops.ENABLED
+    except Exception:  # pragma: no cover
+        return False
+
+
 # --- code-length computation (exact Moffat–Katajainen reimplementation) ---
 
 def _compute_inplace_phase1(data, n):
@@ -219,12 +227,51 @@ class HuffmanEncoder(EntropyEncoder):
             prev = int(sizes[s])
         return count
 
+    def _encode_device(self, block: np.ndarray, count: int) -> int:
+        """Encode all full 16 KiB chunks with the TPU kernel
+        (kanzi_tpu.ops.huffman); chunks whose max code length exceeds
+        MAX_SYMBOL_SIZE take the exact host bit-debt path. Returns the
+        new start offset."""
+        from kanzi_tpu.ops import huffman as dhuff
+        full = count // MAX_CHUNK_SIZE
+        chunks = block[:full * MAX_CHUNK_SIZE].reshape(full, MAX_CHUNK_SIZE)
+        (hdr, hdr_bits, ok, m, flat, npairs,
+         acc, nb, frag_bits) = dhuff.encode_chunks_np(chunks)
+        plen16 = npairs.sum(1)
+        offs16 = np.cumsum(plen16) - plen16
+        for ci in range(full):
+            if ok[ci] or m[ci] <= 1:
+                bl = int(hdr_bits[ci])
+                self.obs._append_bit_run(hdr[ci, :(bl + 7) >> 3].tobytes(),
+                                         bl)
+                if ok[ci]:
+                    base = int(offs16[ci])
+                    for f in range(4):
+                        np_f = int(npairs[ci, f])
+                        if np_f:
+                            self.obs.write_bytes(
+                                flat[2 * base:2 * (base + np_f)].tobytes())
+                        base += np_f
+                        rb = int(nb[ci, f])
+                        if rb:
+                            self.obs.write_bits(
+                                int(acc[ci, f]) & ((1 << rb) - 1), rb)
+            else:
+                chunk = chunks[ci]
+                freqs = np.bincount(chunk, minlength=256).astype(np.int64)
+                if self._update_frequencies(freqs) > 1:
+                    self._encode_chunk(chunk)
+        return full * MAX_CHUNK_SIZE
+
     def encode(self, block: np.ndarray) -> int:
         block = np.asarray(block, dtype=np.uint8)
         count = len(block)
         if count == 0:
             return 0
         start = 0
+        if (self.chunk_size == MAX_CHUNK_SIZE and count >= MAX_CHUNK_SIZE
+                and _device_huffman_enabled()):
+            start = self._encode_device(block, count)
         while start < count:
             size_chunk = min(self.chunk_size, count - start)
             chunk = block[start:start + size_chunk]

@@ -142,6 +142,39 @@ def _gather_kernel(idx_ref, t0_ref, t1_ref, o0_ref, o1_ref):
     jax.lax.fori_loop(0, n // 128, body, 0)
 
 
+def _gather_kernel1(idx_ref, t0_ref, o0_ref):
+    a0 = t0_ref[:, :128]
+    b0 = t0_ref[:, 128:]
+    n = idx_ref.shape[1]
+
+    def body(i, _):
+        s = idx_ref[:, pl.ds(i * 128, 128)]
+        sm = s & 127
+        o0_ref[:, pl.ds(i * 128, 128)] = jnp.where(
+            s >= 128, jnp.take_along_axis(b0, sm, axis=1),
+            jnp.take_along_axis(a0, sm, axis=1))
+        return 0
+
+    jax.lax.fori_loop(0, n // 128, body, 0)
+
+
+def gather_table1(idx: jnp.ndarray, tbl0: jnp.ndarray):
+    """idx: [C, N] int32 in [0,256); tbl0: [C, 256] uint32 -> [C,N] u32."""
+    c, n = idx.shape
+    G = _GATHER_G
+    return pl.pallas_call(
+        _gather_kernel1,
+        grid=(c // G,),
+        in_specs=[
+            pl.BlockSpec((G, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, n), jnp.uint32),
+    )(idx, tbl0)
+
+
 def gather_tables2(idx: jnp.ndarray, tbl0: jnp.ndarray, tbl1: jnp.ndarray):
     """idx: [C, N] int32 in [0,256); tbl0/tbl1: [C, 256] uint32.
     Returns (tbl0[c, idx], tbl1[c, idx]) as [C, N] uint32 each."""
@@ -410,9 +443,19 @@ def _pack_headers_device(freqs, states, plen, lr: int = LOG_RANGE):
     nbits = jnp.concatenate([nbits, (32 * mi)[:, None]
                              * jnp.ones((1, 4), jnp.int32)], axis=1)
 
-    # word-packed bit assembly: each slot's n-bit value lands in at most
-    # two 32-bit words of the header stream; disjoint bits make OR == ADD,
-    # so two S-element scatter-adds replace an S*32-element bit scatter
+    hdr, bitlen = pack_slots_device(vals_u, nbits)
+    return hdr, bitlen, m
+
+
+def pack_slots_device(vals_u: jnp.ndarray, nbits: jnp.ndarray):
+    """Assemble per-row bitstrings from (value, nbits<=32) slot tables.
+
+    Word-packed bit assembly: each slot's n-bit value lands in at most
+    two 32-bit words of the stream; disjoint bits make OR == ADD, so two
+    S-element scatter-adds replace an S*32-element bit scatter. Returns
+    (bytes [C, HDR_MAX_BITS/8] u8, bitlen [C] i32). Total bits per row
+    must stay under HDR_MAX_BITS - 32."""
+    C = vals_u.shape[0]
     starts = jnp.cumsum(nbits, axis=1) - nbits
     w = starts >> 5
     b = starts & 31
@@ -430,8 +473,6 @@ def _pack_headers_device(freqs, states, plen, lr: int = LOG_RANGE):
     idx0 = jnp.where(nbits > 0, rows2 * NW + w, C * NW)
     words = jnp.zeros((C * NW + 1,), jnp.uint32)
     words = words.at[idx0].add(c0, mode="drop")
-    # a spill past a chunk's last word cannot occur: headers stay well
-    # under HDR_MAX_BITS - 32 bits
     words = words.at[jnp.where(over > 0, idx0 + 1, C * NW)].add(
         c1, mode="drop")
     words = words[:C * NW].reshape(C, NW)
@@ -439,7 +480,7 @@ def _pack_headers_device(freqs, states, plen, lr: int = LOG_RANGE):
     hdr = ((words[:, :, None] >> sh) & 0xFF).astype(
         jnp.uint8).reshape(C, HDR_MAX_BITS // 8)
     bitlen = jnp.sum(nbits, axis=1)
-    return hdr, bitlen, m
+    return hdr, bitlen
 
 
 def _on_tpu() -> bool:
