@@ -31,10 +31,22 @@ def get_bwt_chunks(size: int) -> int:
 
 
 def bwt_forward(src: np.ndarray):
-    """Returns (bwt bytes, indexes)."""
+    """Returns (bwt bytes, indexes). Uses the device suffix array
+    (kanzi_tpu.ops.bwt, sort-based prefix doubling) when available --
+    the suffix array is unique so the output is identical either way."""
     n = len(src)
     if n > MAX_BLOCK_SIZE:
         raise ValueError("BWT: block too large")
+    if n >= 4096:
+        try:
+            import kanzi_tpu.ops as ops
+            if ops.ENABLED:
+                from kanzi_tpu.ops import bwt as dbwt
+                out, idx = dbwt.bwt_forward(np.asarray(src, np.uint8),
+                                            get_bwt_chunks(n))
+                return out, list(idx)
+        except Exception:
+            pass
     return compute_bwt(src, get_bwt_chunks(n))
 
 
