@@ -169,12 +169,37 @@ class ANSRangeEncoder(EntropyEncoder):
             chunks = block[:full * 16384].reshape(full, 16384)
             hdr, bitlen, m, flat, plen = dans.encode_chunks_np(chunks)
         offs = np.cumsum(plen) - plen
-        for c in range(full):
-            bl = int(bitlen[c])
-            self.obs._append_bit_run(hdr[c, :(bl + 7) >> 3].tobytes(), bl)
-            if m[c] > 1:
-                self.obs.write_bytes(
-                    flat[offs[c]:offs[c] + plen[c]].tobytes())
+        from kanzi_tpu.utils import native
+        if native.available():
+            # one native splice for the whole batch: headers from buf0
+            # (row-aligned), payload spans from buf1
+            multi = m > 1
+            n_runs = full + int(multi.sum())
+            sel = np.zeros(n_runs, np.uint8)
+            roffs = np.zeros(n_runs, np.uint64)
+            rbits = np.zeros(n_runs, np.uint64)
+            w = hdr.shape[1]
+            j = 0
+            for c in range(full):
+                roffs[j] = c * w
+                rbits[j] = bitlen[c]
+                j += 1
+                if multi[c]:
+                    sel[j] = 1
+                    roffs[j] = offs[c]
+                    rbits[j] = 8 * int(plen[c])
+                    j += 1
+            data, nbits = native.concat_runs(hdr.reshape(-1), flat,
+                                             sel, roffs, rbits)
+            self.obs._append_bit_run(data, nbits)
+        else:
+            for c in range(full):
+                bl = int(bitlen[c])
+                self.obs._append_bit_run(hdr[c, :(bl + 7) >> 3].tobytes(),
+                                         bl)
+                if m[c] > 1:
+                    self.obs.write_bytes(
+                        flat[offs[c]:offs[c] + plen[c]].tobytes())
         return full * 16384
 
     def _order1_histogram(self, chunk):

@@ -239,13 +239,60 @@ class HuffmanEncoder(EntropyEncoder):
          acc, nb, frag_bits) = dhuff.encode_chunks_np(chunks)
         plen16 = npairs.sum(1)
         offs16 = np.cumsum(plen16) - plen16
+        from kanzi_tpu.utils import native
+        use_native = native.available()
+        if use_native:
+            # stash fragment residual bits (<16 each) in the header rows'
+            # spare tail bytes so the native splice needs two buffers only
+            hdr = np.array(hdr)  # device views are read-only
+            w = hdr.shape[1]
+            rb16 = (acc.astype(np.uint32)
+                    & ((1 << np.maximum(nb, 0)) - 1)) << (16 - nb)
+            hdr[:, w - 8:w] = np.stack(
+                [(rb16 >> 8) & 0xFF, rb16 & 0xFF],
+                axis=2).astype(np.uint8).reshape(-1, 8)
+        pend_sel = []
+        pend_off = []
+        pend_bits = []
+
+        def flush_native():
+            if pend_sel:
+                data, nbits = native.concat_runs(
+                    hdr.reshape(-1), flat,
+                    np.array(pend_sel, np.uint8),
+                    np.array(pend_off, np.uint64),
+                    np.array(pend_bits, np.uint64))
+                self.obs._append_bit_run(data, nbits)
+                pend_sel.clear()
+                pend_off.clear()
+                pend_bits.clear()
+
         for ci in range(full):
             if ok[ci] or m[ci] <= 1:
+                base = int(offs16[ci])
+                if use_native:
+                    w = hdr.shape[1]
+                    pend_sel.append(0)
+                    pend_off.append(ci * w)
+                    pend_bits.append(int(hdr_bits[ci]))
+                    if ok[ci]:
+                        for f in range(4):
+                            np_f = int(npairs[ci, f])
+                            if np_f:
+                                pend_sel.append(1)
+                                pend_off.append(2 * base)
+                                pend_bits.append(16 * np_f)
+                            base += np_f
+                            rb = int(nb[ci, f])
+                            if rb:
+                                pend_sel.append(0)
+                                pend_off.append(ci * w + w - 8 + 2 * f)
+                                pend_bits.append(rb)
+                    continue
                 bl = int(hdr_bits[ci])
                 self.obs._append_bit_run(hdr[ci, :(bl + 7) >> 3].tobytes(),
                                          bl)
                 if ok[ci]:
-                    base = int(offs16[ci])
                     for f in range(4):
                         np_f = int(npairs[ci, f])
                         if np_f:
@@ -257,10 +304,12 @@ class HuffmanEncoder(EntropyEncoder):
                             self.obs.write_bits(
                                 int(acc[ci, f]) & ((1 << rb) - 1), rb)
             else:
+                flush_native()
                 chunk = chunks[ci]
                 freqs = np.bincount(chunk, minlength=256).astype(np.int64)
                 if self._update_frequencies(freqs) > 1:
                     self._encode_chunk(chunk)
+        flush_native()
         return full * MAX_CHUNK_SIZE
 
     def encode(self, block: np.ndarray) -> int:
