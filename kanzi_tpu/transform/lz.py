@@ -89,6 +89,15 @@ class LZCodec(ByteTransform):
             return None
         min_match = mm
 
+        # native fast path (byte-identical C++ port, native/lzx.cpp)
+        try:
+            from kanzi_tpu.utils import native
+            if native.lzx_available():
+                out = native.lzx_forward(src, self.hash_log, min_match)
+                return None if out is None else out
+        except Exception:
+            pass
+
         data = src.tolist()
         # precompute rolling 8-byte little-endian words -> hashes, vectorized
         padded = np.concatenate([src, np.zeros(8, np.uint8)]).astype(np.uint64)

@@ -15,41 +15,69 @@ import threading
 import numpy as np
 
 _lock = threading.Lock()
-_lib = None
-_tried = False
+_libs = {}
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native", "bitrun.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "libkanzibitrun.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
-def _load():
-    global _lib, _tried
+def _load(name: str):
     with _lock:
-        if _tried:
-            return _lib
-        _tried = True
+        if name in _libs:
+            return _libs[name]
+        src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
+        so = os.path.join(_NATIVE_DIR, f"libkanzi{name}.so")
+        lib = None
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(src)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
                     check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             u64p = ctypes.POINTER(ctypes.c_uint64)
-            lib.kz_concat_runs.restype = ctypes.c_uint64
-            lib.kz_concat_runs.argtypes = [
-                u8p, ctypes.c_uint64, u8p, u8p, u8p, u64p, u64p,
-                ctypes.c_int64]
-            _lib = lib
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            if name == "bitrun":
+                lib.kz_concat_runs.restype = ctypes.c_uint64
+                lib.kz_concat_runs.argtypes = [
+                    u8p, ctypes.c_uint64, u8p, u8p, u8p, u64p, u64p,
+                    ctypes.c_int64]
+            elif name == "lzx":
+                lib.kz_lzx_forward.restype = ctypes.c_int64
+                lib.kz_lzx_forward.argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                    u8p, ctypes.c_int64, i32p]
         except Exception:
-            _lib = None
-        return _lib
+            lib = None
+        _libs[name] = lib
+        return lib
 
 
 def available() -> bool:
-    return _load() is not None
+    return _load("bitrun") is not None
+
+
+def lzx_available() -> bool:
+    return _load("lzx") is not None
+
+
+def lzx_forward(src: np.ndarray, hash_log: int, min_match: int):
+    """Native LZX forward; returns output bytes array or None (skip)."""
+    lib = _load("lzx")
+    count = len(src)
+    cap = (count + 16 if count <= 1024 else count + count // 64) + 2 + 16
+    dst = np.zeros(cap, np.uint8)
+    table = np.zeros(1 << hash_log, np.int32)
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.kz_lzx_forward(
+        src.ctypes.data_as(u8p), count, hash_log, min_match,
+        dst.ctypes.data_as(u8p), cap,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+        return None
+    return dst[:n]
 
 
 def concat_runs(buf0: np.ndarray, buf1: np.ndarray, sel: np.ndarray,
@@ -57,7 +85,7 @@ def concat_runs(buf0: np.ndarray, buf1: np.ndarray, sel: np.ndarray,
     """Concatenate bit runs (see native/bitrun.cpp). Returns
     (bytes, total_bits). Runs are byte-aligned in their source buffers;
     the output is a packed MSB-first bit string."""
-    lib = _load()
+    lib = _load("bitrun")
     total_bits = int(bitlens.sum())
     out = np.zeros((total_bits + 7) // 8 + 8, dtype=np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
