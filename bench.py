@@ -149,6 +149,13 @@ def main() -> int:
         ours_best = min(ours_best, time.perf_counter() - t0)
     ours_mbps = n_mb / ours_best
 
+    # level 1 (LZX, native host stage) end-to-end -- no device link on
+    # the path, directly comparable with the reference
+    l1 = compress_bytes(data, transform="LZX", entropy="NONE")
+    t0 = time.perf_counter()
+    l1 = compress_bytes(data, transform="LZX", entropy="NONE")
+    l1_mbps = n_mb / (time.perf_counter() - t0)
+
     # reference on the same corpus, same host
     ref_mbps = None
     with tempfile.TemporaryDirectory() as td:
@@ -177,7 +184,9 @@ def main() -> int:
                                  "compressed_B": len(blob),
                                  "e2e_MBps": round(ours_mbps, 3),
                                  "ref_MBps": round(ref_mbps, 3) if ref_mbps else None,
-                                 "note": "e2e is capped ~25-30 MB/s by the dev-harness host<->TPU tunnel"}}))
+                                 "l1_e2e_MBps": round(l1_mbps, 3),
+                                 "l1_compressed_B": len(l1),
+                                 "note": "ANS0 e2e is capped ~25-30 MB/s by the dev-harness host<->TPU tunnel; l1 runs host-native"}}))
     return 0
 
 
