@@ -277,6 +277,17 @@ class TextCodec(ByteTransform):
         log_hash = _dict_log_params(self.ctx, self.variant)
         dict_size = max(STATIC_DICT_WORDS + (2 if self.variant == 1 else 0),
                         1 << _reset_dict_size(count))
+
+        # native fast path (byte-identical C++ port, native/text.cpp)
+        try:
+            from kanzi_tpu.utils import native
+            if native.text_available():
+                out = native.text_forward(src, self.variant, log_hash,
+                                          dict_size, int(mode))
+                return None if out is None else out
+        except Exception:
+            pass
+
         escapes = (ESCAPE_TOKEN2, ESCAPE_TOKEN1) if self.variant == 1 else ()
         d = _Dict(log_hash, dict_size, escapes)
 
@@ -453,6 +464,21 @@ class TextCodec(ByteTransform):
         log_hash = _dict_log_params(self.ctx, self.variant)
         dict_size = max(STATIC_DICT_WORDS + (2 if self.variant == 1 else 0),
                         1 << _reset_dict_size(cap))
+
+        # native fast path (byte-identical C++ port, native/text.cpp)
+        try:
+            from kanzi_tpu.utils import native
+            if native.text_available():
+                out = native.text_inverse(src, self.variant, log_hash,
+                                          dict_size, int(max(cap, count)))
+                if out is None:
+                    raise ValueError("TextCodec: invalid stream")
+                return out
+        except ValueError:
+            raise
+        except Exception:
+            pass
+
         escapes = (ESCAPE_TOKEN2, ESCAPE_TOKEN1) if self.variant == 1 else ()
         d = _Dict(log_hash, dict_size, escapes)
 

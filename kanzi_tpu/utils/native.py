@@ -48,14 +48,74 @@ def _load(name: str):
                 lib.kz_lzx_forward.argtypes = [
                     u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                     u8p, ctypes.c_int64, i32p]
+            elif name == "text":
+                lib.kz_text_set_dict.restype = None
+                lib.kz_text_set_dict.argtypes = [
+                    u8p, ctypes.c_int64, i32p, i32p, ctypes.c_int]
+                lib.kz_text_forward.restype = ctypes.c_int64
+                lib.kz_text_forward.argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, u8p]
+                lib.kz_text_inverse.restype = ctypes.c_int64
+                lib.kz_text_inverse.argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, u8p, ctypes.c_int64]
+                _init_text_dict(lib)
         except Exception:
             lib = None
         _libs[name] = lib
         return lib
 
 
+def _init_text_dict(lib) -> None:
+    from kanzi_tpu.transform.text import _STATIC_WORDS
+    blob = b"".join(_STATIC_WORDS)
+    offs = np.zeros(len(_STATIC_WORDS), np.int32)
+    lens = np.zeros(len(_STATIC_WORDS), np.int32)
+    p = 0
+    for i, w in enumerate(_STATIC_WORDS):
+        offs[i] = p
+        lens[i] = len(w)
+        p += len(w)
+    b = np.frombuffer(blob, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.kz_text_set_dict(b.ctypes.data_as(u8p), len(blob),
+                         offs.ctypes.data_as(i32p),
+                         lens.ctypes.data_as(i32p), len(_STATIC_WORDS))
+
+
 def available() -> bool:
     return _load("bitrun") is not None
+
+
+def text_available() -> bool:
+    return _load("text") is not None
+
+
+def text_forward(src: np.ndarray, variant: int, log_hash: int,
+                 dict_size0: int, mode: int):
+    lib = _load("text")
+    count = len(src)
+    dst = np.zeros(count + 8, np.uint8)
+    src = np.ascontiguousarray(src, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.kz_text_forward(src.ctypes.data_as(u8p), count, variant,
+                            log_hash, dict_size0, mode,
+                            dst.ctypes.data_as(u8p))
+    return None if n < 0 else dst[:n]
+
+
+def text_inverse(src: np.ndarray, variant: int, log_hash: int,
+                 dict_size0: int, dst_cap: int):
+    lib = _load("text")
+    dst = np.zeros(dst_cap + 8, np.uint8)
+    src = np.ascontiguousarray(src, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.kz_text_inverse(src.ctypes.data_as(u8p), len(src), variant,
+                            log_hash, dict_size0,
+                            dst.ctypes.data_as(u8p), dst_cap + 8)
+    return None if n < 0 else dst[:n]
 
 
 def lzx_available() -> bool:
