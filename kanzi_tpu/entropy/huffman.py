@@ -214,7 +214,11 @@ class HuffmanEncoder(EntropyEncoder):
                     self.codes[s] = n
                     sizes[s] = 8
             else:
-                codes = generate_canonical_codes(sizes, rank_syms, count)
+                # pass the alphabet, not rank_syms: the bit-debt slow path
+                # rewrites ranks in place as (freq<<8|sym) packed keys, and
+                # generate_canonical_codes only needs the symbol set (it
+                # re-sorts by (size, symbol) itself)
+                codes = generate_canonical_codes(sizes, alphabet, count)
                 if codes is None:
                     raise ValueError("Could not generate canonical codes")
                 self.codes[:] = codes
@@ -235,8 +239,13 @@ class HuffmanEncoder(EntropyEncoder):
         from kanzi_tpu.ops import huffman as dhuff
         full = count // MAX_CHUNK_SIZE
         chunks = block[:full * MAX_CHUNK_SIZE].reshape(full, MAX_CHUNK_SIZE)
-        (hdr, hdr_bits, ok, m, flat, npairs,
-         acc, nb, frag_bits) = dhuff.encode_chunks_np(chunks)
+        prep = getattr(self, "prepared_device", None)
+        if prep is not None and len(prep[2]) == full:
+            (hdr, hdr_bits, ok, m, flat, npairs,
+             acc, nb, frag_bits) = prep
+        else:
+            (hdr, hdr_bits, ok, m, flat, npairs,
+             acc, nb, frag_bits) = dhuff.encode_chunks_np(chunks)
         plen16 = npairs.sum(1)
         offs16 = np.cumsum(plen16) - plen16
         from kanzi_tpu.utils import native

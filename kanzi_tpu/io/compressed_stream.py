@@ -237,6 +237,39 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
 
 
 ANS0_TYPE = 5
+HUFFMAN_TYPE = 1
+
+
+def prepare_huffman_batch(states: list) -> None:
+    """Cross-block device batching for the Huffman entropy stage
+    (mirror of prepare_ans0_batch)."""
+    import kanzi_tpu.ops as ops
+    if not ops.ENABLED:
+        return
+    elig = [st for st in states
+            if st["e_type"] == HUFFMAN_TYPE
+            and not (st["mode"] & COPY_BLOCK_MASK)
+            and st["post_len"] >= 16384]
+    if not elig:
+        return
+    from kanzi_tpu.ops import huffman as dhuff
+    counts = [st["post_len"] // 16384 for st in elig]
+    chunks = np.concatenate(
+        [st["out"][:n * 16384].reshape(n, 16384)
+         for st, n in zip(elig, counts)])
+    (hdr, hdr_bits, ok, m, flat, npairs,
+     acc, nb, frag_bits) = dhuff.encode_chunks_np(chunks)
+    plen16 = npairs.sum(1)
+    offs16 = np.cumsum(plen16) - plen16
+    pos = 0
+    for st, n in zip(elig, counts):
+        sl = slice(pos, pos + n)
+        fstart = 2 * int(offs16[pos])
+        fend = 2 * int(offs16[pos + n - 1] + plen16[pos + n - 1])
+        st["prepared_entropy"] = (hdr[sl], hdr_bits[sl], ok[sl], m[sl],
+                                  flat[fstart:fend], npairs[sl],
+                                  acc[sl], nb[sl], frag_bits[sl])
+        pos += n
 
 
 def prepare_ans0_batch(states: list) -> None:
@@ -458,6 +491,7 @@ class CompressedWriter:
                 slot_caps=self._slot_caps[slot]))
         self._block_queue.clear()
         prepare_ans0_batch(states)
+        prepare_huffman_batch(states)
         for st in states:
             payload, bits = _encode_block_phase2(st, self.listeners)
             self._commit(payload, bits)
