@@ -620,9 +620,12 @@ def _ans0_decode_kernel(vt_ref, st_ref, pay_ref, out_ref, cur_ref,
         st3 = jnp.where(flag, (st2 << 16) | pairs.astype(jnp.uint32), st2)
         cur = cur + fl[0] + fl[1] + fl[2] + fl[3]
 
-        # round-robin window refill: row r = t % g
+        # round-robin window refill, one row every 2 steps: a row is
+        # visited every 2g steps and consumes <= 8g < 128 pairs between
+        # visits, so rel stays < 256 (the scalar cond reads are the
+        # expensive part -- halve their frequency)
         for r in range(g):
-            @pl.when(((t & (g - 1)) == r)
+            @pl.when(((t & 1) == 0) & (((t >> 1) & (g - 1)) == r)
                      & (cur[r, 0] - base_ref[r, 0] >= 128))
             def _():
                 newb = base_ref[r, 0] + 128
