@@ -10,9 +10,8 @@ and small inputs.
 
 Layout:
 - ops.ans       interleaved 4-lane rANS order-0 chunk encode/decode
-- ops.histogram batched per-chunk byte histograms
-- ops.lz        parallel LZ match finding + pointer-doubling greedy parse
-- ops.bwt       suffix-array (prefix doubling) BWT forward/inverse
+- ops.huffman   4-fragment canonical Huffman chunk encode
+- ops.bwt       suffix-array (prefix doubling) BWT forward
 """
 
 import os as _os

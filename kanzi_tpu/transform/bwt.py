@@ -13,6 +13,7 @@ pointer-doubling chain walk.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Optional
 
 import numpy as np
@@ -46,7 +47,13 @@ def bwt_forward(src: np.ndarray):
                                             get_bwt_chunks(n))
                 return out, list(idx)
         except Exception:
-            pass
+            import logging
+            logging.getLogger("kanzi_tpu").warning(
+                "device BWT forward failed; falling back to host suffix "
+                "array (set KANZI_TPU_STRICT_DEVICE=1 to make this fatal)",
+                exc_info=True)
+            if _os.environ.get("KANZI_TPU_STRICT_DEVICE"):
+                raise
     return compute_bwt(src, get_bwt_chunks(n))
 
 

@@ -47,6 +47,28 @@ def test_level_oracle_equality(tmp_path, level):
 
 
 @needs_oracle
+@pytest.mark.parametrize("jobs", [2, 4])
+def test_jobs_oracle_equality(tmp_path, jobs):
+    """-j N changes the reference's persistent slot-buffer evolution (and
+    thus transform skip decisions near capacity edges); our slot-cap model
+    must track it byte-for-byte (io/compressed_stream.py slot_caps)."""
+    data = _corpus(180000)["mixed"]
+    for level in (1, 3, 5):
+        transform, entropy = LEVEL_TABLE[level]
+        comp = compress_bytes(data, transform, entropy, block_size=32768,
+                              jobs=jobs)
+        assert decompress_bytes(comp) == data, (level, jobs)
+        src = tmp_path / f"j{jobs}_{level}"
+        knz = tmp_path / f"j{jobs}_{level}.knz"
+        src.write_bytes(data)
+        r = subprocess.run([ORACLE, "-c", "-f", "-l", str(level), "-b", "32k",
+                            "-j", str(jobs), "-i", str(src), "-o", str(knz)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        assert comp == knz.read_bytes(), (level, jobs)
+
+
+@needs_oracle
 @pytest.mark.parametrize("level", [8, 9])
 def test_level_oracle_equality_tpaq(tmp_path, level):
     data = _corpus(24000)["structured"]

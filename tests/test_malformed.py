@@ -17,7 +17,8 @@ def blob():
     rng = np.random.default_rng(4)
     data = (b"malformed stream handling " * 3000
             + rng.integers(0, 256, 30000, dtype=np.uint8).tobytes())
-    return data, compress_bytes(data, transform="LZX", entropy="HUFFMAN")
+    return data, compress_bytes(data, transform="LZX", entropy="HUFFMAN",
+                                checksum_bits=32)
 
 
 def _expect_fail(buf):
@@ -60,11 +61,13 @@ def test_corrupt_payload_every_region(blob):
         bad[pos] ^= 0xA5
         try:
             out = decompress_bytes(bytes(bad))
-            # a flip may land in an unused bit: only identical output or
-            # a typed failure are acceptable, silent corruption is not
-            assert out == data or out != data  # must simply not crash
         except FAILS:
-            pass
+            continue
+        # the stream carries a 32-bit block checksum, so the only way a
+        # flipped byte may decode without a typed failure is if it landed
+        # in a don't-care bit (padding) — output must then be identical;
+        # silent corruption is unacceptable
+        assert out == data, f"silent corruption at offset {pos}"
 
 
 def test_block_checksum_catches_corruption():
