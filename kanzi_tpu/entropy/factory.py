@@ -39,8 +39,28 @@ def entropy_type_to_name(etype: int) -> str:
     return t.name
 
 
+_NATIVE_KIND = {}
+
+
+def _native_kinds():
+    if not _NATIVE_KIND:
+        from kanzi_tpu.entropy import native_bin as nb
+        _NATIVE_KIND.update({
+            EntropyType.FPAQ: nb.KIND_FPAQ,
+            EntropyType.CM: nb.KIND_CM,
+            EntropyType.TPAQ: nb.KIND_TPAQ,
+            EntropyType.TPAQX: nb.KIND_TPAQX,
+        })
+    return _NATIVE_KIND
+
+
 def new_encoder(obs: BitWriter, ctx: Context, etype: int) -> EntropyEncoder:
     t = EntropyType(etype)
+    if t in (EntropyType.FPAQ, EntropyType.CM, EntropyType.TPAQ,
+             EntropyType.TPAQX):
+        from kanzi_tpu.entropy import native_bin as nb
+        if nb.native_bin_enabled():
+            return nb.NativeBinEncoder(obs, ctx, _native_kinds()[t])
     if t == EntropyType.NONE:
         from kanzi_tpu.entropy.null import NullEntropyEncoder
         return NullEntropyEncoder(obs, ctx)
@@ -76,6 +96,11 @@ def new_encoder(obs: BitWriter, ctx: Context, etype: int) -> EntropyEncoder:
 
 def new_decoder(ibs: BitReader, ctx: Context, etype: int) -> EntropyDecoder:
     t = EntropyType(etype)
+    if t in (EntropyType.FPAQ, EntropyType.CM, EntropyType.TPAQ,
+             EntropyType.TPAQX):
+        from kanzi_tpu.entropy import native_bin as nb
+        if nb.native_bin_enabled():
+            return nb.NativeBinDecoder(ibs, ctx, _native_kinds()[t])
     if t == EntropyType.NONE:
         from kanzi_tpu.entropy.null import NullEntropyDecoder
         return NullEntropyDecoder(ibs, ctx)

@@ -180,51 +180,61 @@ class _Mixer:
         return self.pr
 
 
+def compute_sizes(ctx=None, extra: bool = False):
+    """Table sizing schedule (TPAQPredictor.cpp:296-342). Identical sizing
+    is REQUIRED for identical output; shared by the Python golden model and
+    the native coder (native/bincoder.cpp). Returns
+    (states_size, mixers_size, hash_size, buffer_size)."""
+    states_size = 1 << 28
+    mixers_size = 1 << 12
+    hash_size = HASH_SIZE
+    extra_mem = 1 if extra else 0
+    buffer_size = BUFFER_SIZE
+    bs_version = 7
+    if ctx is not None:
+        rbsz = ctx.get_int("blockSize", 32768)
+        if rbsz >= 64 * 1024 * 1024:
+            states_size = 1 << 28
+        elif rbsz >= 16 * 1024 * 1024:
+            states_size = 1 << 27
+        elif rbsz >= 4 * 1024 * 1024:
+            states_size = 1 << 26
+        else:
+            states_size = (1 << 24) if rbsz >= 1024 * 1024 else (1 << 22)
+        absz = ctx.get_int("size", rbsz)
+        if absz >= 32 * 1024 * 1024:
+            mixers_size = 1 << 16
+        elif absz >= 16 * 1024 * 1024:
+            mixers_size = 1 << 15
+        elif absz >= 8 * 1024 * 1024:
+            mixers_size = 1 << 14
+        elif absz >= 4 * 1024 * 1024:
+            mixers_size = 1 << 13
+        else:
+            mixers_size = (1 << 11) if absz >= 1024 * 1024 else (1 << 8)
+        buffer_size = min(rbsz, BUFFER_SIZE)
+        mxsz = absz * 16 if absz < (1 << 26) else (1 << 30)
+        hash_size = min(hash_size, mxsz)
+        bs_version = ctx.get_int("bsVersion", bs_version)
+    if bs_version > 6:
+        buffer_size = 1 << (max(buffer_size, 1).bit_length() - 1)
+        hash_size = 1 << (max(hash_size, 1).bit_length() - 1)
+    mixers_size <<= 2 * extra_mem
+    states_size <<= 2 * extra_mem
+    hash_size <<= 2 * extra_mem
+    if bs_version > 5 and hash_size > 1024 * 1024 * 1024:
+        hash_size = 1024 * 1024 * 1024
+    return states_size, mixers_size, hash_size, buffer_size
+
+
 class TPAQPredictor(Predictor):
     def __init__(self, ctx=None, extra: bool = False):
         self.extra = extra
         sse0_rate = 6 if extra else 7
         self._sse0 = LogisticAdaptiveProbMap(256, sse0_rate)
         self._sse1 = LogisticAdaptiveProbMap(65536 if extra else 256, 7)
-        states_size = 1 << 28
-        mixers_size = 1 << 12
-        hash_size = HASH_SIZE
-        extra_mem = 1 if extra else 0
-        buffer_size = BUFFER_SIZE
-        bs_version = 7
-        if ctx is not None:
-            rbsz = ctx.get_int("blockSize", 32768)
-            if rbsz >= 64 * 1024 * 1024:
-                states_size = 1 << 28
-            elif rbsz >= 16 * 1024 * 1024:
-                states_size = 1 << 27
-            elif rbsz >= 4 * 1024 * 1024:
-                states_size = 1 << 26
-            else:
-                states_size = (1 << 24) if rbsz >= 1024 * 1024 else (1 << 22)
-            absz = ctx.get_int("size", rbsz)
-            if absz >= 32 * 1024 * 1024:
-                mixers_size = 1 << 16
-            elif absz >= 16 * 1024 * 1024:
-                mixers_size = 1 << 15
-            elif absz >= 8 * 1024 * 1024:
-                mixers_size = 1 << 14
-            elif absz >= 4 * 1024 * 1024:
-                mixers_size = 1 << 13
-            else:
-                mixers_size = (1 << 11) if absz >= 1024 * 1024 else (1 << 8)
-            buffer_size = min(rbsz, BUFFER_SIZE)
-            mxsz = absz * 16 if absz < (1 << 26) else (1 << 30)
-            hash_size = min(hash_size, mxsz)
-            bs_version = ctx.get_int("bsVersion", bs_version)
-        if bs_version > 6:
-            buffer_size = 1 << (max(buffer_size, 1).bit_length() - 1)
-            hash_size = 1 << (max(hash_size, 1).bit_length() - 1)
-        mixers_size <<= 2 * extra_mem
-        states_size <<= 2 * extra_mem
-        hash_size <<= 2 * extra_mem
-        if bs_version > 5 and hash_size > 1024 * 1024 * 1024:
-            hash_size = 1024 * 1024 * 1024
+        states_size, mixers_size, hash_size, buffer_size = compute_sizes(
+            ctx, extra)
 
         self._states_mask = states_size - 1
         self._mixers_mask = (mixers_size - 1) & ~1

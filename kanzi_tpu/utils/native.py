@@ -48,6 +48,21 @@ def _load(name: str):
                 lib.kz_lzx_forward.argtypes = [
                     u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                     u8p, ctypes.c_int64, i32p]
+            elif name == "bincoder":
+                i64 = ctypes.c_int64
+                lib.kz_bin_new.restype = ctypes.c_void_p
+                lib.kz_bin_new.argtypes = [
+                    ctypes.c_int, ctypes.c_int, i64, i64, i64, i64]
+                lib.kz_bin_free.restype = None
+                lib.kz_bin_free.argtypes = [ctypes.c_void_p]
+                lib.kz_bin_get_low.restype = ctypes.c_uint64
+                lib.kz_bin_get_low.argtypes = [ctypes.c_void_p]
+                lib.kz_bin_enc_chunk.restype = i64
+                lib.kz_bin_enc_chunk.argtypes = [
+                    ctypes.c_void_p, u8p, i64, u8p, i64]
+                lib.kz_bin_dec_chunk.restype = i64
+                lib.kz_bin_dec_chunk.argtypes = [
+                    ctypes.c_void_p, u8p, i64, ctypes.c_uint64, u8p, i64]
             elif name == "text":
                 lib.kz_text_set_dict.restype = None
                 lib.kz_text_set_dict.argtypes = [
@@ -120,6 +135,51 @@ def text_inverse(src: np.ndarray, variant: int, log_hash: int,
 
 def lzx_available() -> bool:
     return _load("lzx") is not None
+
+
+def bincoder_available() -> bool:
+    return _load("bincoder") is not None
+
+
+def bincoder_new(kind: int, bs_version: int, states_size: int,
+                 mixers_size: int, hash_size: int, buffer_size: int):
+    lib = _load("bincoder")
+    h = lib.kz_bin_new(kind, bs_version, states_size, mixers_size,
+                       hash_size, buffer_size)
+    return h or None
+
+
+def bincoder_free(h) -> None:
+    lib = _load("bincoder")
+    if lib is not None:
+        lib.kz_bin_free(h)
+
+
+def bincoder_get_low(h) -> int:
+    return int(_load("bincoder").kz_bin_get_low(h))
+
+
+def bincoder_enc_chunk(h, src: np.ndarray):
+    """Encode one chunk; returns (buf, n_out). n_out < 0 on overflow."""
+    lib = _load("bincoder")
+    n = len(src)
+    cap = 2 * n + 64  # worst case: <= 16 output bits per input bit / 8
+    dst = np.empty(cap, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    src = np.ascontiguousarray(src, np.uint8)
+    n_out = lib.kz_bin_enc_chunk(h, src.ctypes.data_as(u8p), n,
+                                 dst.ctypes.data_as(u8p), cap)
+    return dst, int(n_out)
+
+
+def bincoder_dec_chunk(h, payload: np.ndarray, sz: int, current: int,
+                       out: np.ndarray) -> int:
+    lib = _load("bincoder")
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    payload = np.ascontiguousarray(payload, np.uint8)
+    return int(lib.kz_bin_dec_chunk(h, payload.ctypes.data_as(u8p), sz,
+                                    current, out.ctypes.data_as(u8p),
+                                    len(out)))
 
 
 def lzx_forward(src: np.ndarray, hash_log: int, min_match: int):
