@@ -38,6 +38,13 @@ def bwt_forward(src: np.ndarray):
     n = len(src)
     if n > MAX_BLOCK_SIZE:
         raise ValueError("BWT: block too large")
+    from kanzi_tpu.utils import native as _native
+    if n > 1 and _native.sais_available():
+        # native SA-IS is the fastest host path; the device suffix array
+        # (ops/bwt.py) is exercised by bench.py / dryrun_multichip
+        out, idx = _native.bwt_forward(np.asarray(src, np.uint8),
+                                       get_bwt_chunks(n))
+        return out, idx
     if n >= 4096:
         try:
             import kanzi_tpu.ops as ops
@@ -68,6 +75,10 @@ def bwt_inverse(bwt: np.ndarray, indexes) -> np.ndarray:
     p_idx = indexes[0]
     if p_idx <= 0 or p_idx > count:
         raise ValueError("BWT: invalid primary index")
+    from kanzi_tpu.utils import native as _native
+    if _native.sais_available():
+        ok = all(0 < ix <= count for ix in indexes)
+        return _native.bwt_inverse(bwt, indexes if ok else indexes[:1])
     # counting-sort positions by value (stable): buffer[j] = (link<<8)|val
     order = np.argsort(bwt, kind="stable")
     adj = np.arange(count, dtype=np.int64)

@@ -23,13 +23,17 @@ import numpy as np
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (ascending suffix order)."""
+    """Suffix array (ascending suffix order): native SA-IS
+    (native/sais.cpp) when available, else prefix doubling in numpy."""
     s = np.asarray(s, dtype=np.uint8)
     n = len(s)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     if n == 1:
         return np.zeros(1, dtype=np.int64)
+    from kanzi_tpu.utils import native
+    if native.sais_available():
+        return native.suffix_array(s).astype(np.int64)
     rank = s.astype(np.int64)
     k = 1
     while True:
@@ -56,6 +60,10 @@ def compute_bwt(src: np.ndarray, idx_count: int):
     """Returns (bwt_output uint8[n], indexes list[idx_count])."""
     src = np.asarray(src, dtype=np.uint8)
     n = len(src)
+    from kanzi_tpu.utils import native
+    if n > 1 and native.sais_available():
+        out, indexes = native.bwt_forward(src, idx_count)
+        return out, indexes
     sa = suffix_array(src)
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.arange(n)

@@ -57,6 +57,9 @@ class RLT(ByteTransform):
                     return None
             escape = int(np.argmin(freqs))  # first min (matches scan order)
 
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            return native.rlt_forward(src, escape, self.capacity_for(count))
         data = src.tolist()
         dst = bytearray()
         dst_end = self.capacity_for(count)

@@ -35,6 +35,9 @@ class SBRT(ByteTransform):
     def forward(self, src: np.ndarray) -> Optional[np.ndarray]:
         src = as_u8(src)
         n = len(src)
+        from kanzi_tpu.utils import native
+        if n and native.transforms_available():
+            return native.sbrt(src, self.mode, inverse=False)
         out = np.empty(n, dtype=np.uint8)
         p = [0] * 256
         q = [0] * 256
@@ -63,6 +66,9 @@ class SBRT(ByteTransform):
     def inverse(self, src: np.ndarray) -> np.ndarray:
         src = as_u8(src)
         n = len(src)
+        from kanzi_tpu.utils import native
+        if n and native.transforms_available():
+            return native.sbrt(src, self.mode, inverse=True)
         out = np.empty(n, dtype=np.uint8)
         p = [0] * 256
         q = [0] * 256

@@ -34,6 +34,12 @@ class SRT(ByteTransform):
             return src.copy()
         if self.capacity_for(length) < self.max_encoded_length(length):
             return None
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            dst, freqs = native.srt_forward(src)
+            header = self._encode_header([int(f) for f in freqs])
+            return np.frombuffer(bytes(header) + dst.tobytes(),
+                                 dtype=np.uint8)
         data = src.tolist()
         freqs = [0] * 256
         s2r = [0] * 256
@@ -95,6 +101,10 @@ class SRT(ByteTransform):
         data = src.tolist()
         freqs, header_size = self._decode_header(data, length)
         length -= header_size
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            return native.srt_inverse(src[header_size:],
+                                      np.asarray(freqs, np.int64))
         data = data[header_size:]
         symbols = _sorted_symbols(freqs)
         nb_symbols = len(symbols)

@@ -32,7 +32,8 @@ def _load(name: str):
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+                    ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                     src, "-o", so],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(so)
             u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -48,6 +49,31 @@ def _load(name: str):
                 lib.kz_lzx_forward.argtypes = [
                     u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                     u8p, ctypes.c_int64, i32p]
+            elif name == "transforms":
+                i64 = ctypes.c_int64
+                i64p = ctypes.POINTER(i64)
+                lib.kz_sbrt_forward.restype = None
+                lib.kz_sbrt_forward.argtypes = [u8p, i64, ctypes.c_int, u8p]
+                lib.kz_sbrt_inverse.restype = None
+                lib.kz_sbrt_inverse.argtypes = [u8p, i64, ctypes.c_int, u8p]
+                lib.kz_srt_forward.restype = ctypes.c_int
+                lib.kz_srt_forward.argtypes = [u8p, i64, u8p, i64p]
+                lib.kz_srt_inverse.restype = ctypes.c_int
+                lib.kz_srt_inverse.argtypes = [u8p, i64, i64p, u8p]
+                lib.kz_rlt_forward.restype = i64
+                lib.kz_rlt_forward.argtypes = [u8p, i64, ctypes.c_int,
+                                               u8p, i64]
+            elif name == "sais":
+                i64 = ctypes.c_int64
+                i64p = ctypes.POINTER(i64)
+                lib.kz_sa.restype = ctypes.c_int
+                lib.kz_sa.argtypes = [u8p, i64, i32p]
+                lib.kz_bwt_forward.restype = ctypes.c_int
+                lib.kz_bwt_forward.argtypes = [u8p, i64, ctypes.c_int32,
+                                               u8p, i64p]
+                lib.kz_bwt_inverse.restype = ctypes.c_int
+                lib.kz_bwt_inverse.argtypes = [u8p, i64, i64p,
+                                               ctypes.c_int32, u8p]
             elif name == "bincoder":
                 i64 = ctypes.c_int64
                 lib.kz_bin_new.restype = ctypes.c_void_p
@@ -139,6 +165,108 @@ def lzx_available() -> bool:
 
 def bincoder_available() -> bool:
     return _load("bincoder") is not None
+
+
+def sais_available() -> bool:
+    return _load("sais") is not None
+
+
+def transforms_available() -> bool:
+    return _load("transforms") is not None
+
+
+def _u8ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def sbrt(src: np.ndarray, mode: int, inverse: bool) -> np.ndarray:
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    out = np.empty(len(src), np.uint8)
+    fn = lib.kz_sbrt_inverse if inverse else lib.kz_sbrt_forward
+    fn(_u8ptr(src), len(src), mode, _u8ptr(out))
+    return out
+
+
+def srt_forward(src: np.ndarray):
+    """Returns (rank_stream uint8[n], freqs int64[256])."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(len(src), np.uint8)
+    freqs = np.zeros(256, np.int64)
+    lib.kz_srt_forward(_u8ptr(src), len(src), _u8ptr(dst),
+                       freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return dst, freqs
+
+
+def srt_inverse(data: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    lib = _load("transforms")
+    data = np.ascontiguousarray(data, np.uint8)
+    freqs = np.ascontiguousarray(freqs, np.int64)
+    out = np.empty(len(data), np.uint8)
+    rc = lib.kz_srt_inverse(
+        _u8ptr(data), len(data),
+        freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _u8ptr(out))
+    if rc != 0:
+        raise ValueError("SRT: invalid bucket position")
+    return out
+
+
+def rlt_forward(src: np.ndarray, escape: int, dst_end: int):
+    """Returns output array or None (transform skipped)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(dst_end + 8, np.uint8)
+    n = lib.kz_rlt_forward(_u8ptr(src), len(src), escape, _u8ptr(dst),
+                           dst_end)
+    return None if n < 0 else dst[:n]
+
+
+def suffix_array(src: np.ndarray) -> np.ndarray:
+    lib = _load("sais")
+    n = len(src)
+    sa = np.empty(n, np.int32)
+    src = np.ascontiguousarray(src, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.kz_sa(src.ctypes.data_as(u8p), n,
+                   sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise MemoryError("kz_sa failed")
+    return sa
+
+
+def bwt_forward(src: np.ndarray, idx_count: int):
+    lib = _load("sais")
+    n = len(src)
+    out = np.empty(n, np.uint8)
+    idxs = np.zeros(idx_count, np.int64)
+    src = np.ascontiguousarray(src, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.kz_bwt_forward(src.ctypes.data_as(u8p), n, idx_count,
+                            out.ctypes.data_as(u8p),
+                            idxs.ctypes.data_as(i64p))
+    if rc != 0:
+        raise MemoryError("kz_bwt_forward failed")
+    return out, [int(v) for v in idxs]
+
+
+def bwt_inverse(bwt: np.ndarray, indexes) -> np.ndarray:
+    lib = _load("sais")
+    n = len(bwt)
+    dst = np.empty(n, np.uint8)
+    idxs = np.ascontiguousarray(np.asarray(indexes, np.int64))
+    bwt = np.ascontiguousarray(bwt, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.kz_bwt_inverse(bwt.ctypes.data_as(u8p), n,
+                            idxs.ctypes.data_as(i64p), len(idxs),
+                            dst.ctypes.data_as(u8p))
+    if rc == -2:
+        raise ValueError("BWT: invalid primary index")
+    if rc != 0:
+        raise MemoryError("kz_bwt_inverse failed")
+    return dst
 
 
 def bincoder_new(kind: int, bs_version: int, states_size: int,

@@ -1,0 +1,242 @@
+// Native suffix array (SA-IS) + BWT forward/inverse for the host runtime.
+//
+// The reference builds its suffix array with Yuta Mori's DivSufSort
+// (src/transform/DivSufSort.cpp); the suffix array of a string is unique,
+// so any construction yields bit-identical BWT output. This is a fresh
+// implementation of the SA-IS induced-sorting algorithm (Nong/Zhang/Chan
+// 2009) — a different algorithm from the reference's B*-bucket divsufsort.
+//
+// kz_bwt_forward reproduces the computeBWT output semantics documented in
+// kanzi_tpu/transform/divsufsort.py (out[0]=src[n-1], pIdx row skipped,
+// chunk primary indexes = rank(t*step)+1 with the n-1 special case).
+// kz_bwt_inverse is the packed val+link walk (inverseMergeTPSI semantics,
+// src/transform/BWT.cpp:169-292) with optional multi-chunk walks from the
+// 8 primary indexes (the reference's intra-block parallel hook).
+//
+// Build: g++ -O3 -shared -fPIC -pthread sais.cpp -o libkanzisais.so
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline bool is_lms(const uint8_t* t, int64_t i) {
+    return i > 0 && t[i] && !t[i - 1];
+}
+
+// SA-IS over s[0..n-1], alphabet [0..K), s[n-1] must be the unique
+// smallest character (sentinel).
+void sais(const int32_t* s, int32_t* sa, int64_t n, int64_t K,
+          uint8_t* t /* scratch n bytes */) {
+    if (n == 1) { sa[0] = 0; return; }
+    // classify S(1)/L(0)
+    t[n - 1] = 1;
+    for (int64_t i = n - 2; i >= 0; i--)
+        t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+
+    std::vector<int32_t> counts(K, 0), bkt(K);
+    for (int64_t i = 0; i < n; i++) counts[s[i]]++;
+
+    auto bucket_ends = [&] {
+        int32_t sum = 0;
+        for (int64_t c = 0; c < K; c++) { sum += counts[c]; bkt[c] = sum; }
+    };
+    auto bucket_starts = [&] {
+        int32_t sum = 0;
+        for (int64_t c = 0; c < K; c++) { bkt[c] = sum; sum += counts[c]; }
+    };
+    auto induce = [&] {
+        // L-type left-to-right from bucket starts
+        bucket_starts();
+        for (int64_t i = 0; i < n; i++) {
+            const int32_t j = sa[i] - 1;
+            if (sa[i] > 0 && !t[j]) sa[bkt[s[j]]++] = j;
+        }
+        // S-type right-to-left from bucket ends
+        bucket_ends();
+        for (int64_t i = n - 1; i >= 0; i--) {
+            const int32_t j = sa[i] - 1;
+            if (sa[i] > 0 && t[j]) sa[--bkt[s[j]]] = j;
+        }
+    };
+
+    // stage 1: sort LMS substrings
+    std::memset(sa, -1, n * sizeof(int32_t));
+    bucket_ends();
+    for (int64_t i = 1; i < n; i++)
+        if (is_lms(t, i)) sa[--bkt[s[i]]] = int32_t(i);
+    induce();
+
+    // compact sorted LMS positions into sa[0..n1)
+    int64_t n1 = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (is_lms(t, sa[i])) sa[n1++] = sa[i];
+
+    // name LMS substrings; names stored at sa[n1 + pos/2]
+    std::memset(sa + n1, -1, (n - n1) * sizeof(int32_t));
+    int64_t name = 0;
+    int64_t prev = -1;
+    for (int64_t i = 0; i < n1; i++) {
+        const int64_t pos = sa[i];
+        bool diff = false;
+        if (prev < 0) {
+            diff = true;
+        } else {
+            for (int64_t d = 0;; d++) {
+                if (d > 0 && (is_lms(t, pos + d) || is_lms(t, prev + d))) {
+                    diff = !(is_lms(t, pos + d) && is_lms(t, prev + d));
+                    break;
+                }
+                if (s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+                    diff = true;
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        sa[n1 + (pos >> 1)] = int32_t(name - 1);
+    }
+    // compact names into s1 at the tail of sa
+    int32_t* s1 = sa + n - n1;
+    for (int64_t i = n - 1, j = n - 1; i >= n1; i--)
+        if (sa[i] >= 0) sa[j--] = sa[i];
+
+    // stage 2: order LMS suffixes
+    if (name < n1) {
+        sais(s1, sa, n1, name, t + n);  // t has 2n scratch at top level? no:
+        // NOTE: recursion classifies into the same t buffer region beyond n1
+    } else {
+        for (int64_t i = 0; i < n1; i++) sa[s1[i]] = int32_t(i);
+    }
+
+    // p1 = LMS positions in text order (reuse s1 storage)
+    for (int64_t i = 1, j = 0; i < n; i++)
+        if (is_lms(t, i)) s1[j++] = int32_t(i);
+    for (int64_t i = 0; i < n1; i++) sa[i] = s1[sa[i]];
+
+    // stage 3: induce the full SA from sorted LMS suffixes
+    std::memset(sa + n1, -1, (n - n1) * sizeof(int32_t));
+    bucket_ends();
+    for (int64_t i = n1 - 1; i >= 0; i--) {
+        const int32_t j = sa[i];
+        sa[i] = -1;
+        sa[--bkt[s[j]]] = j;
+    }
+    induce();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of src[0..n-1] (ascending suffix order), no sentinel in
+// the output. sa must hold n entries. Returns 0 ok, -1 alloc failure.
+int kz_sa(const uint8_t* src, int64_t n, int32_t* sa) {
+    if (n <= 0) return 0;
+    if (n == 1) { sa[0] = 0; return 0; }
+    const int64_t m = n + 1;
+    std::vector<int32_t> s;
+    std::vector<int32_t> sa2;
+    std::vector<uint8_t> t;
+    try {
+        s.resize(m);
+        sa2.resize(m);
+        t.resize(2 * m);  // recursion shares the tail half
+    } catch (...) {
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++) s[i] = int32_t(src[i]) + 1;
+    s[n] = 0;  // sentinel, unique minimum
+    sais(s.data(), sa2.data(), m, 257, t.data());
+    // sa2[0] is the sentinel suffix; drop it
+    std::memcpy(sa, sa2.data() + 1, n * sizeof(int32_t));
+    return 0;
+}
+
+// BWT forward per computeBWT semantics; indexes has idx_count entries.
+int kz_bwt_forward(const uint8_t* src, int64_t n, int32_t idx_count,
+                   uint8_t* out, int64_t* indexes) {
+    if (n <= 0) return 0;
+    std::vector<int32_t> sa;
+    try { sa.resize(n); } catch (...) { return -1; }
+    if (kz_sa(src, n, sa.data()) != 0) return -1;
+
+    const int64_t st = n / idx_count;
+    const int64_t step = (idx_count * st == n) ? st : st + 1;
+    int64_t p_idx = 0;
+    for (int64_t j = 0; j < n; j++) {
+        const int64_t pos = sa[j];
+        if (pos % step == 0 && pos / step < idx_count)
+            indexes[pos / step] = j + 1;
+        if (pos == 0) p_idx = j;
+    }
+    if ((n - 1) % step == 0 && (n - 1) / step < idx_count && n >= 2
+        && src[n - 2] < src[n - 1])
+        indexes[(n - 1) / step] = n;
+
+    out[0] = src[n - 1];
+    for (int64_t j = 0; j < p_idx; j++) out[j + 1] = src[sa[j] - 1];
+    for (int64_t j = p_idx + 1; j < n; j++) out[j] = src[sa[j] - 1];
+    return 0;
+}
+
+// BWT inverse: packed val+link walk. indexes[0..idx_count) are the 1-based
+// primary indexes; idx_count > 1 splits the output into idx_count chunks
+// walked concurrently (biPSIv2-style intra-block parallelism).
+int kz_bwt_inverse(const uint8_t* bwt, int64_t n, const int64_t* indexes,
+                   int32_t idx_count, uint8_t* dst) {
+    if (n <= 0) return 0;
+    const int64_t p_idx = indexes[0];
+    if (p_idx <= 0 || p_idx > n) return -2;
+    // counting sort of positions by value (stable)
+    int64_t counts[256] = {0};
+    for (int64_t i = 0; i < n; i++) counts[bwt[i]]++;
+    std::vector<uint8_t> vals;
+    std::vector<int32_t> nxt;
+    try { vals.resize(n); nxt.resize(n); } catch (...) { return -1; }
+    {
+        int64_t starts[256];
+        int64_t sum = 0;
+        for (int c = 0; c < 256; c++) { starts[c] = sum; sum += counts[c]; }
+        int64_t w = 0;
+        for (int c = 0; c < 256; c++) {
+            std::memset(vals.data() + w, c, counts[c]);
+            w += counts[c];
+        }
+        for (int64_t i = 0; i < n; i++) {
+            // link of original position i: i-1 for 1<=i<p_idx, 0 for i=0,
+            // i for i>=p_idx (the inserted out[0] / skipped pIdx row)
+            const int64_t link = (i == 0) ? 0 : (i < p_idx ? i - 1 : i);
+            nxt[starts[bwt[i]]++] = int32_t(link);
+        }
+    }
+    const int64_t st = n / idx_count;
+    const int64_t step = (idx_count * st == n) ? st : st + 1;
+    auto walk = [&](int32_t tch) {
+        const int64_t begin = int64_t(tch) * step;
+        const int64_t end = (begin + step < n) ? begin + step : n;
+        int64_t ptr = indexes[tch] - 1;
+        for (int64_t i = begin; i < end; i++) {
+            dst[i] = vals[ptr];
+            ptr = nxt[ptr];
+        }
+    };
+    if (idx_count <= 1 || n < (1 << 18)) {
+        int64_t ptr = p_idx - 1;
+        for (int64_t i = 0; i < n; i++) {
+            dst[i] = vals[ptr];
+            ptr = nxt[ptr];
+        }
+        return 0;
+    }
+    std::vector<std::thread> ths;
+    for (int32_t tch = 1; tch < idx_count; tch++)
+        ths.emplace_back(walk, tch);
+    walk(0);
+    for (auto& th : ths) th.join();
+    return 0;
+}
+
+}  // extern "C"
