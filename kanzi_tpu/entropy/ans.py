@@ -225,6 +225,9 @@ class ANSRangeEncoder(EntropyEncoder):
     def _run_lanes(self, sym_idx: np.ndarray, tabs) -> tuple:
         """sym_idx: (steps, 4) table indexes in encode order (backwards).
         Returns (final_states(4,), payload_renorm_bytes)."""
+        from kanzi_tpu.utils import native
+        if native.ans_available():
+            return native.ans_enc_lanes(sym_idx, tabs)
         steps = sym_idx.shape[0]
         st = np.full(4, ANS_TOP, dtype=np.int64)
         flags = np.zeros((steps, 4), dtype=bool)
@@ -409,6 +412,15 @@ class ANSRangeDecoder(EntropyDecoder):
         for k in range(freqs.shape[0]):
             rep = np.repeat(np.arange(256, dtype=np.uint8), f[k])
             f2s[k, :len(rep)] = rep[: 1 << lr]
+        from kanzi_tpu.utils import native
+        if native.ans_available():
+            consumed = native.ans_dec_chunk(
+                payload[:sz].astype(np.uint8).tobytes(),
+                st.astype(np.uint32), f2s, f, cum, lr, self.order,
+                out[start:start + count])
+            if consumed != sz:
+                raise ValueError("ANS chunk payload size mismatch")
+            return
         fflat = f.reshape(-1)
         cflat = cum.reshape(-1)
         count4 = count & -4

@@ -225,6 +225,12 @@ def detect_type(src, count):
     if count <= 0:
         return NOT_EXE | stats.UNDEFINED, code_start, code_end
 
+    from kanzi_tpu.utils import native
+    if native.transforms_available():
+        nhisto, jumps_x86, jumps_arm = native.exe_detect_scan(
+            src, code_start, code_end)
+        return _detect_classify(count, code_start, code_end,
+                                nhisto, jumps_x86, jumps_arm)
     jumps_x86 = 0
     jumps_arm = 0
     histo = [0] * 256
@@ -254,12 +260,19 @@ def detect_type(src, count):
                 jumps_arm += 1
         i += 1
 
-    dt = stats.detect_simple_type(count, np.array(histo, dtype=np.int64))
+    return _detect_classify(count, code_start, code_end,
+                            np.array(histo, dtype=np.int64),
+                            jumps_x86, jumps_arm)
+
+
+def _detect_classify(count, code_start, code_end, histo, jumps_x86,
+                     jumps_arm):
+    dt = stats.detect_simple_type(count, np.asarray(histo, dtype=np.int64))
     if dt != stats.BIN:
         return NOT_EXE | dt, code_start, code_end
     if histo[0] < count // 10 or histo[255] < count // 100:
         return NOT_EXE | dt, code_start, code_end
-    if sum(histo[:16]) > count // 2:
+    if int(histo[:16].sum()) > count // 2:
         return NOT_EXE | dt, code_start, code_end
     if jumps_x86 >= count // 200:
         return X86, code_start, code_end

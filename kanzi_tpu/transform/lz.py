@@ -391,6 +391,9 @@ class LZPCodec(ByteTransform):
             return src.copy()
         if count < 4 or count < self.MIN_BLOCK_LENGTH:
             return None
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            return native.lzp_forward(src)
         data = src.tolist()
         padded = np.concatenate([src, np.zeros(8, np.uint8)]).astype(np.uint64)
         w = np.zeros(count, dtype=np.uint64)
@@ -465,6 +468,16 @@ class LZPCodec(ByteTransform):
             return src.copy()
         if count < 4:
             raise ValueError("LZP: block too short")
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            cap = max(4 * count, 4096)
+            while True:
+                try:
+                    return native.lzp_inverse(src, cap)
+                except ValueError as e:
+                    if "overflow" not in str(e) or cap >= (1 << 30):
+                        raise
+                    cap *= 4
         data = src.tolist()
         table = [0] * (1 << self.HASH_LOG)
         dst = bytearray(data[:4])

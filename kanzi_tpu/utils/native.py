@@ -49,6 +49,17 @@ def _load(name: str):
                 lib.kz_lzx_forward.argtypes = [
                     u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                     u8p, ctypes.c_int64, i32p]
+            elif name == "ans":
+                i64 = ctypes.c_int64
+                i64p = ctypes.POINTER(i64)
+                u32p = ctypes.POINTER(ctypes.c_uint32)
+                lib.kz_ans_enc_lanes.restype = i64
+                lib.kz_ans_enc_lanes.argtypes = [
+                    i32p, i64, i64p, i64p, i64p, u64p, u64p, u32p, u8p, i64]
+                lib.kz_ans_dec_chunk.restype = i64
+                lib.kz_ans_dec_chunk.argtypes = [
+                    u8p, i64, u32p, u8p, i64p, i64p, ctypes.c_int,
+                    ctypes.c_int, u8p, i64]
             elif name == "transforms":
                 i64 = ctypes.c_int64
                 i64p = ctypes.POINTER(i64)
@@ -63,6 +74,12 @@ def _load(name: str):
                 lib.kz_rlt_forward.restype = i64
                 lib.kz_rlt_forward.argtypes = [u8p, i64, ctypes.c_int,
                                                u8p, i64]
+                lib.kz_lzp_forward.restype = i64
+                lib.kz_lzp_forward.argtypes = [u8p, i64, u8p]
+                lib.kz_lzp_inverse.restype = i64
+                lib.kz_lzp_inverse.argtypes = [u8p, i64, u8p, i64]
+                lib.kz_exe_detect_scan.restype = None
+                lib.kz_exe_detect_scan.argtypes = [u8p, i64, i64, i64p, i64p]
             elif name == "sais":
                 i64 = ctypes.c_int64
                 i64p = ctypes.POINTER(i64)
@@ -175,6 +192,59 @@ def transforms_available() -> bool:
     return _load("transforms") is not None
 
 
+def ans_available() -> bool:
+    return _load("ans") is not None
+
+
+def ans_enc_lanes(sym_idx: np.ndarray, tabs):
+    """Returns (states uint32[4], renorm payload bytes)."""
+    lib = _load("ans")
+    steps = sym_idx.shape[0]
+    sym_idx = np.ascontiguousarray(sym_idx, np.int32)
+    cap = 2 * 4 * steps + 16
+    buf = np.empty(cap, np.uint8)
+    states = np.zeros(4, np.uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    xmax = np.ascontiguousarray(tabs["xmax"].reshape(-1), np.int64)
+    bias = np.ascontiguousarray(tabs["bias"].reshape(-1), np.int64)
+    cmpl = np.ascontiguousarray(tabs["cmpl"].reshape(-1), np.int64)
+    invf = np.ascontiguousarray(tabs["inv_freq"].reshape(-1), np.uint64)
+    invs = np.ascontiguousarray(tabs["inv_shift"].reshape(-1), np.uint64)
+    n = lib.kz_ans_enc_lanes(
+        sym_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), steps,
+        xmax.ctypes.data_as(i64p), bias.ctypes.data_as(i64p),
+        cmpl.ctypes.data_as(i64p), invf.ctypes.data_as(u64p),
+        invs.ctypes.data_as(u64p),
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _u8ptr(buf), cap)
+    if n < 0:
+        raise ValueError("ANS encode buffer overflow")
+    return states, buf[cap - n:].tobytes()
+
+
+def ans_dec_chunk(payload: bytes, states: np.ndarray, f2s: np.ndarray,
+                  freq: np.ndarray, cum: np.ndarray, lr: int, order: int,
+                  out: np.ndarray) -> int:
+    """Decodes one chunk into `out`; returns bytes consumed or raises."""
+    lib = _load("ans")
+    sz = len(payload)
+    buf = np.frombuffer(payload + b"\x00\x00", np.uint8)
+    states = np.ascontiguousarray(states, np.uint32)
+    f2s = np.ascontiguousarray(f2s, np.uint8).reshape(-1)
+    freq = np.ascontiguousarray(freq.reshape(-1), np.int64)
+    cum = np.ascontiguousarray(cum.reshape(-1), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.kz_ans_dec_chunk(
+        _u8ptr(buf), sz,
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _u8ptr(f2s), freq.ctypes.data_as(i64p), cum.ctypes.data_as(i64p),
+        lr, order, _u8ptr(out), len(out))
+    if n < 0:
+        raise ValueError("ANS chunk payload overrun")
+    return int(n)
+
+
 def _u8ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
@@ -210,6 +280,40 @@ def srt_inverse(data: np.ndarray, freqs: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise ValueError("SRT: invalid bucket position")
     return out
+
+
+def lzp_forward(src: np.ndarray):
+    """Returns output array or None (transform skipped)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(len(src) + 8, np.uint8)
+    n = lib.kz_lzp_forward(_u8ptr(src), len(src), _u8ptr(dst))
+    return None if n < 0 else dst[:n]
+
+
+def lzp_inverse(src: np.ndarray, dst_cap: int) -> np.ndarray:
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(dst_cap, np.uint8)
+    n = lib.kz_lzp_inverse(_u8ptr(src), len(src), _u8ptr(dst), dst_cap)
+    if n == -2:
+        raise ValueError("LZP: truncated stream")
+    if n < 0:
+        raise ValueError("LZP: output overflow")
+    return dst[:n]
+
+
+def exe_detect_scan(src: np.ndarray, code_start: int, code_end: int):
+    """Returns (histo int64[256], jumps_x86, jumps_arm)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    histo = np.zeros(256, np.int64)
+    jumps = np.zeros(2, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kz_exe_detect_scan(_u8ptr(src), code_start, code_end,
+                           histo.ctypes.data_as(i64p),
+                           jumps.ctypes.data_as(i64p))
+    return histo, int(jumps[0]), int(jumps[1])
 
 
 def rlt_forward(src: np.ndarray, escape: int, dst_end: int):

@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -292,6 +293,208 @@ int64_t kz_rlt_forward(const uint8_t* src, int64_t count, int escape,
 
     if (!(res && dst_idx < src_idx)) return -1;
     return dst_idx;
+}
+
+// LZP forward (kanzi_tpu/transform/lz.py LZPCodec; reference constants
+// src/transform/LZCodec.cpp:763-768). Returns dst length or -1 (skip).
+int64_t kz_lzp_forward(const uint8_t* src, int64_t count, uint8_t* dst) {
+    constexpr uint32_t HASH_SEED = 0x7FEB352D;
+    constexpr int HASH_LOG = 16;
+    constexpr int HASH_SHIFT = 32 - HASH_LOG;
+    constexpr int MIN_MATCH = 64;
+    constexpr int MATCH_FLAG = 0xFC;
+
+    const int64_t src_end = count;
+    const int64_t dst_end = count - (count >> 6);
+    std::vector<int32_t> table(1 << HASH_LOG, 0);
+    int64_t dst_idx = 0;
+    for (int i = 0; i < 4; i++) dst[dst_idx++] = src[i];
+    uint32_t ctx = uint32_t(src[0]) | (uint32_t(src[1]) << 8)
+                 | (uint32_t(src[2]) << 16) | (uint32_t(src[3]) << 24);
+    int64_t src_idx = 4;
+
+    // 8-byte little-endian words with zero padding (the Python model
+    // compares via a padded uint64 view, so reads at count-7.. are valid)
+    auto word = [&](int64_t i) -> uint64_t {
+        if (i + 8 <= count) {
+            uint64_t w;
+            std::memcpy(&w, src + i, 8);  // x86/arm little-endian host
+            return w;
+        }
+        uint64_t w = 0;
+        for (int64_t k = count - 1; k >= i; k--) w = (w << 8) | src[k];
+        return w;
+    };
+    auto find_match = [&](int64_t a, int64_t b, int64_t max_match) {
+        int64_t n = 0;
+        while (n + 8 <= max_match) {
+            const uint64_t d = word(a + n) ^ word(b + n);
+            if (d) return n + (__builtin_ctzll(d) >> 3);
+            n += 8;
+        }
+        return n;
+    };
+
+    while (src_idx < src_end - MIN_MATCH && dst_idx < dst_end) {
+        const uint32_t h = (HASH_SEED * ctx) >> HASH_SHIFT;
+        const int64_t ref = table[h];
+        table[h] = int32_t(src_idx);
+        int64_t best_len = 0;
+        if (ref != 0
+            && word(ref + MIN_MATCH - 8) == word(src_idx + MIN_MATCH - 8))
+            best_len = find_match(src_idx, ref, src_end - src_idx);
+        if (best_len < MIN_MATCH) {
+            const int val = src[src_idx];
+            ctx = (ctx << 8) | uint32_t(val);
+            dst[dst_idx++] = uint8_t(val);
+            src_idx++;
+            if (ref != 0 && val == MATCH_FLAG) {
+                if (dst_idx >= dst_end) return -1;
+                dst[dst_idx++] = 0xFF;
+            }
+            continue;
+        }
+        src_idx += best_len;
+        ctx = uint32_t(src[src_idx - 4]) | (uint32_t(src[src_idx - 3]) << 8)
+            | (uint32_t(src[src_idx - 2]) << 16)
+            | (uint32_t(src[src_idx - 1]) << 24);
+        dst[dst_idx++] = MATCH_FLAG;
+        best_len -= MIN_MATCH;
+        while (best_len >= 254 && dst_idx < dst_end) {
+            best_len -= 254;
+            dst[dst_idx++] = 0xFE;
+        }
+        if (dst_idx >= dst_end) return -1;
+        dst[dst_idx++] = uint8_t(best_len);
+    }
+
+    while (src_idx < src_end && dst_idx < dst_end) {
+        const uint32_t h = (HASH_SEED * ctx) >> HASH_SHIFT;
+        const int64_t ref = table[h];
+        table[h] = int32_t(src_idx);
+        const int val = src[src_idx];
+        ctx = (ctx << 8) | uint32_t(val);
+        dst[dst_idx++] = uint8_t(val);
+        src_idx++;
+        if (ref != 0 && val == MATCH_FLAG) {
+            if (dst_idx >= dst_end) return -1;
+            dst[dst_idx++] = 0xFF;
+        }
+    }
+
+    if (!(src_idx == count && dst_idx < dst_end)) return -1;
+    return dst_idx;
+}
+
+// LZP inverse. dst must hold dst_cap bytes; returns output length,
+// -2 truncated stream, -3 output overflow.
+int64_t kz_lzp_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
+                       int64_t dst_cap) {
+    constexpr uint32_t HASH_SEED = 0x7FEB352D;
+    constexpr int HASH_LOG = 16;
+    constexpr int HASH_SHIFT = 32 - HASH_LOG;
+    constexpr int MIN_MATCH = 64;
+    constexpr int MATCH_FLAG = 0xFC;
+
+    std::vector<int32_t> table(1 << HASH_LOG, 0);
+    if (dst_cap < 4) return -3;
+    int64_t dst_idx = 0;
+    for (int i = 0; i < 4; i++) dst[dst_idx++] = src[i];
+    uint32_t ctx = uint32_t(src[0]) | (uint32_t(src[1]) << 8)
+                 | (uint32_t(src[2]) << 16) | (uint32_t(src[3]) << 24);
+    int64_t src_idx = 4;
+    while (src_idx < count) {
+        const uint32_t h = (HASH_SEED * ctx) >> HASH_SHIFT;
+        const int64_t ref = table[h];
+        table[h] = int32_t(dst_idx);
+        if (src[src_idx] != MATCH_FLAG || ref == 0) {
+            const int v = src[src_idx];
+            ctx = (ctx << 8) | uint32_t(v);
+            if (dst_idx >= dst_cap) return -3;
+            dst[dst_idx++] = uint8_t(v);
+            src_idx++;
+            continue;
+        }
+        src_idx++;
+        if (src_idx >= count) return -2;
+        if (src[src_idx] == 0xFF) {
+            ctx = (ctx << 8) | uint32_t(MATCH_FLAG);
+            if (dst_idx >= dst_cap) return -3;
+            dst[dst_idx++] = MATCH_FLAG;
+            src_idx++;
+            continue;
+        }
+        int64_t mlen = MIN_MATCH;
+        while (src_idx < count && src[src_idx] == 0xFE) {
+            src_idx++;
+            mlen += 254;
+        }
+        if (src_idx >= count) return -2;
+        mlen += src[src_idx];
+        src_idx++;
+        if (dst_idx + mlen > dst_cap) return -3;
+        for (int64_t i = 0; i < mlen; i++, dst_idx++)
+            dst[dst_idx] = dst[ref + i];
+        ctx = uint32_t(dst[dst_idx - 4]) | (uint32_t(dst[dst_idx - 3]) << 8)
+            | (uint32_t(dst[dst_idx - 2]) << 16)
+            | (uint32_t(dst[dst_idx - 1]) << 24);
+    }
+    return dst_idx;
+}
+
+// EXE detectType histogram + jump-count scan
+// (kanzi_tpu/transform/exe.py detect_type main loop).
+void kz_exe_detect_scan(const uint8_t* src, int64_t code_start,
+                        int64_t code_end, int64_t* histo,
+                        int64_t* jumps_out) {
+    constexpr int X86_MASK_JUMP = 0xFE;
+    constexpr int X86_INSTRUCTION_JUMP = 0xE8;
+    constexpr int X86_TWO_BYTE_PREFIX = 0x0F;
+    constexpr int X86_MASK_JCC = 0xF0;
+    constexpr int X86_INSTRUCTION_JCC = 0x80;
+    constexpr uint32_t ARM_B_ADDR_MASK = (1u << 26) - 1;
+    constexpr uint32_t ARM_B_OPCODE_MASK = ~ARM_B_ADDR_MASK;
+    constexpr uint32_t ARM_CB_OPCODE_MASK = 0x7F000000;
+    constexpr uint32_t ARM_OPCODE_B = 0x14000000;
+    constexpr uint32_t ARM_OPCODE_BL = 0x94000000;
+    constexpr uint32_t ARM_OPCODE_CBZ = 0x34000000;
+    constexpr uint32_t ARM_OPCODE_CBNZ = 0x35000000;
+
+    int64_t jumps_x86 = 0, jumps_arm = 0;
+    for (int i = 0; i < 256; i++) histo[i] = 0;
+    int64_t i = code_start;
+    while (i < code_end) {
+        histo[src[i]]++;
+        if (i + 4 < code_end
+            && (src[i] & X86_MASK_JUMP) == X86_INSTRUCTION_JUMP) {
+            if (src[i + 4] == 0 || src[i + 4] == 0xFF) {
+                jumps_x86++;
+                i++;
+                continue;
+            }
+        } else if (src[i] == X86_TWO_BYTE_PREFIX && i + 1 < code_end) {
+            int64_t j = i + 1;
+            if ((src[j] == 0x38 || src[j] == 0x3A) && j + 1 < code_end) j++;
+            if ((src[j] & X86_MASK_JCC) == X86_INSTRUCTION_JCC) {
+                jumps_x86++;
+                i = j + 1;
+                continue;
+            }
+            i = j;  // falls through to the ARM check at position j
+        }
+        if ((i & 3) == 0 && i + 4 <= code_end) {
+            uint32_t instr;
+            std::memcpy(&instr, src + i, 4);  // little-endian host
+            const uint32_t op1 = instr & ARM_B_OPCODE_MASK;
+            const uint32_t op2 = instr & ARM_CB_OPCODE_MASK;
+            if (op1 == ARM_OPCODE_B || op1 == ARM_OPCODE_BL
+                || op2 == ARM_OPCODE_CBZ || op2 == ARM_OPCODE_CBNZ)
+                jumps_arm++;
+        }
+        i++;
+    }
+    jumps_out[0] = jumps_x86;
+    jumps_out[1] = jumps_arm;
 }
 
 }  // extern "C"

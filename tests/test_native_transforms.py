@@ -83,6 +83,47 @@ def test_rlt_native_matches_python():
             assert np.array_equal(t.inverse(out_n), data), (ent, name)
 
 
+def test_lzp_native_matches_python():
+    from kanzi_tpu.transform.lz import LZPCodec
+    rng = np.random.default_rng(3)
+    base = _corpora()["text"]
+    cases = dict(_corpora())
+    # craft MATCH_FLAG literals next to live table entries
+    fc = np.tile(np.frombuffer(b"\xfc\xfcmatchflag soup " * 64, np.uint8), 40)
+    cases["flag"] = fc
+    for name, data in cases.items():
+        t = LZPCodec(Context({}))
+        out_n = t.forward(data)
+        t2 = LZPCodec(Context({}))
+        out_p = _python_only("transforms", t2.forward, data)
+        if out_n is None or out_p is None:
+            assert out_n is None and out_p is None, name
+            continue
+        assert np.array_equal(out_n, out_p), name
+        assert np.array_equal(t.inverse(out_n), data), name
+        inv_p = _python_only("transforms", t.inverse, out_n)
+        assert np.array_equal(inv_p, data), name
+
+
+def test_exe_detect_native_matches_python(tmp_path):
+    from kanzi_tpu.transform.exe import detect_type
+    rng = np.random.default_rng(5)
+    elf = np.frombuffer(open("/usr/bin/g++-12", "rb").read()
+                        if __import__("os").path.exists("/usr/bin/g++-12")
+                        else open("/bin/ls", "rb").read(), np.uint8)
+    cases = {
+        "elf": elf[:200000],
+        "elf_slice": elf[4096:150000],  # no magic -> jump-count path
+        "random": rng.integers(0, 256, 100000, dtype=np.uint8),
+        "jumpy": np.tile(np.frombuffer(
+            b"\xe8\x10\x20\x30\x00\x00\xff\x90" * 64, np.uint8), 100),
+    }
+    for name, data in cases.items():
+        got = detect_type(data, len(data))
+        want = _python_only("transforms", detect_type, data, len(data))
+        assert got == want, name
+
+
 def test_bwt_native_roundtrip_multichunk():
     from kanzi_tpu.transform.bwt import bwt_forward, bwt_inverse
     for name, data in _corpora().items():
