@@ -400,6 +400,10 @@ class HuffmanDecoder(EntropyDecoder):
         if bs_version < 6:
             raise NotImplementedError("legacy Huffman bitstream (bsVersion<6)")
         out = np.empty(count, dtype=np.uint8)
+        device_ok = (self.chunk_size == MAX_CHUNK_SIZE
+                     and count >= MAX_CHUNK_SIZE
+                     and _device_huffman_enabled())
+        queued = []  # (start, sizes, codes, frag_pay [4, row] u8)
         start = 0
         while start < count:
             size_chunk = min(self.chunk_size, count - start)
@@ -412,11 +416,45 @@ class HuffmanDecoder(EntropyDecoder):
                     return out[:start]
                 if len(alphabet) == 1:
                     out[start:start + size_chunk] = alphabet[0]
+                elif device_ok and size_chunk == MAX_CHUNK_SIZE:
+                    queued.append((start, sizes, codes,
+                                   self._read_fragments()))
                 else:
                     self._decode_chunk(out, start, size_chunk, alphabet,
                                        sizes, codes)
             start += size_chunk
+        if queued:
+            self._decode_device(out, queued)
         return out
+
+    def _read_fragments(self):
+        """Byte-aligned copies of the 4 fragment bitstreams of one full
+        chunk (HuffmanDecoder.cpp reads them the same way)."""
+        from kanzi_tpu.ops.huffman import _FRAG_WPAD
+        frag_bits = [eu.read_varint(self.ibs) for _ in range(4)]
+        row = 2 * _FRAG_WPAD
+        pay = np.zeros((4, row), dtype=np.uint8)
+        for j in range(4):
+            nb = frag_bits[j]
+            if (nb >> 3) > row - 1:
+                raise ValueError("Invalid Huffman fragment size")
+            raw = bytearray(self.ibs.read_bytes(nb >> 3))
+            if nb & 7:
+                tail = self.ibs.read_bits(nb & 7)
+                raw.append((tail << (8 - (nb & 7))) & 0xFF)
+            pay[j, :len(raw)] = np.frombuffer(bytes(raw), np.uint8)
+        return pay
+
+    def _decode_device(self, out: np.ndarray, queued) -> None:
+        from kanzi_tpu.ops.huffman import huffman_decode_chunks
+        codes_np = np.stack([np.asarray(q[2], np.int64) & 0xFFF
+                             for q in queued]).astype(np.uint32)
+        sizes_np = np.stack([np.asarray(q[1], np.int64)
+                             for q in queued]).astype(np.int32)
+        pay = np.stack([q[3] for q in queued])
+        dec = huffman_decode_chunks(codes_np, sizes_np, pay)
+        for i, (cstart, _, _, _) in enumerate(queued):
+            out[cstart:cstart + MAX_CHUNK_SIZE] = dec[i]
 
     def _decode_chunk(self, out, start, count, alphabet, sizes, codes):
         # flat 12-bit prefix table (HuffmanDecoder.cpp:buildDecodingTable)

@@ -561,23 +561,20 @@ def ans0_encode_chunks_padded(chunks: jnp.ndarray):
 _DEC_G = 8
 
 
-def _ans0_decode_kernel(vt_ref, st_ref, pay_ref, out_ref, cur_ref,
+def _ans0_decode_kernel(vt4_ref, fc_ref, st_ref, pay_ref, out_ref, cur_ref,
                         win_ref, base_ref):
     """Decode G chunks x 4 interleaved lanes, 4096 steps, gather-only
     (no cross-lane reductions in the loop).
 
-    vt_ref [G,4096] u32: per-VALUE table packed sym<<24|f<<12|cumExc
-    (one entry per state residue v = st & MASK); st_ref [G,128] u32
-    (lanes 0-3 = states); pay_ref [G,W] i32 (big-endian byte pair per
-    entry, cursor counts pairs); out_ref [G, STEPS] i32 (4 symbols word-
-    packed little-endian per step); cur_ref [G,128] i32 (lane 0 = pairs
-    consumed). Scratch: win_ref [G,256] i32 sliding payload window,
-    base_ref [G,128] i32 (lane 0 = window base, multiple of 128).
-
-    The symbol lookup is a 32-subtable tpu.dynamic_gather cascade; the
-    payload window refills one row per step round-robin (a row is visited
-    every G steps and consumes <= 4*G < 128 pairs in between, so one
-    128-pair shift per visit keeps rel in [0,256))."""
+    vt4_ref [G,1024] u32: per-VALUE symbol table, 4 symbols packed per
+    word (entry i covers residues v = 4i..4i+3) -- packing shrinks the
+    dominant gather cascade from 32 subtables to 8; fc_ref [G,256] u32:
+    per-symbol f<<12 | cumExc; st_ref [G,128] u32 (lanes 0-3 = states);
+    pay_ref [G,W] i32 (big-endian byte pair per entry, cursor counts
+    pairs); out_ref [G, STEPS] i32 (4 symbols word-packed little-endian
+    per step); cur_ref [G,128] i32 (lane 0 = pairs consumed). Scratch:
+    win_ref [G,256] i32 sliding payload window, base_ref [G,128] i32
+    (lane 0 = window base, multiple of 128)."""
     g = st_ref.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
     lane_live = lanes < 4
@@ -589,16 +586,21 @@ def _ans0_decode_kernel(vt_ref, st_ref, pay_ref, out_ref, cur_ref,
     def step(t, carry):
         st, cur, outtile = carry              # [g,128] u32, [g,1], [g,128]
         v = (st & MASK).astype(jnp.int32)
-        sub = v >> 7
-        vi = v & 127
-        acc = jnp.zeros((g, 128), jnp.uint32)
-        for k in range(32):
-            gk = jnp.take_along_axis(vt_ref[:, k * 128:(k + 1) * 128],
+        i4 = v >> 2
+        sub = i4 >> 7
+        vi = i4 & 127
+        acc = jnp.take_along_axis(vt4_ref[:, :128], vi, axis=1)
+        for k in range(1, 8):
+            gk = jnp.take_along_axis(vt4_ref[:, k * 128:(k + 1) * 128],
                                      vi, axis=1)
             acc = jnp.where(sub == k, gk, acc)
-        sym = (acc >> 24).astype(jnp.int32)
-        fs = (acc >> 12) & 0xFFF
-        exc = acc & 0xFFF
+        sym = ((acc >> ((v & 3) << 3).astype(jnp.uint32))
+               & 0xFF).astype(jnp.int32)
+        fchi = jnp.take_along_axis(fc_ref[:, :128], sym & 127, axis=1)
+        fclo = jnp.take_along_axis(fc_ref[:, 128:], sym & 127, axis=1)
+        fc = jnp.where(sym < 128, fchi, fclo)
+        fs = fc >> 12
+        exc = fc & 0xFFF
         st2 = fs * (st >> LOG_RANGE) + (st & MASK) - exc
         flag = (st2 < ANS_TOP) & lane_live
         fi = flag.astype(jnp.int32)
@@ -622,18 +624,22 @@ def _ans0_decode_kernel(vt_ref, st_ref, pay_ref, out_ref, cur_ref,
 
         # round-robin window refill, one row every 2 steps: a row is
         # visited every 2g steps and consumes <= 8g < 128 pairs between
-        # visits, so rel stays < 256 (the scalar cond reads are the
-        # expensive part -- halve their frequency)
+        # visits, so rel stays < 256. when-conditions are evaluated every
+        # step, so the outer cond must be pure-t: the scalar read of a
+        # vector element (cur[r,0]) costs ~1 us and nesting keeps it at
+        # 1 per 2 steps instead of G per step.
         for r in range(g):
-            @pl.when(((t & 1) == 0) & (((t >> 1) & (g - 1)) == r)
-                     & (cur[r, 0] - base_ref[r, 0] >= 128))
-            def _():
-                newb = base_ref[r, 0] + 128
-                win_ref[r:r + 1, :128] = win_ref[r:r + 1, 128:]
-                win_ref[r:r + 1, 128:] = pay_ref[
-                    pl.ds(r, 1),
-                    pl.ds(pl.multiple_of(newb + 128, 128), 128)]
-                base_ref[r:r + 1, :] = jnp.full((1, 128), newb, jnp.int32)
+            @pl.when(((t & 1) == 0) & (((t >> 1) & (g - 1)) == r))
+            def _(r=r):
+                @pl.when(cur[r, 0] - base_ref[r, 0] >= 128)
+                def _():
+                    newb = base_ref[r, 0] + 128
+                    win_ref[r:r + 1, :128] = win_ref[r:r + 1, 128:]
+                    win_ref[r:r + 1, 128:] = pay_ref[
+                        pl.ds(r, 1),
+                        pl.ds(pl.multiple_of(newb + 128, 128), 128)]
+                    base_ref[r:r + 1, :] = jnp.full((1, 128), newb,
+                                                    jnp.int32)
 
         # pack this step's 4 symbols into one little-endian word
         word = (sym[:, 3:4] | (sym[:, 2:3] << 8) | (sym[:, 1:2] << 16)
@@ -665,8 +671,9 @@ def _decode_pallas_fn(c: int, wpad: int):
         _ans0_decode_kernel,
         grid=(c // G,),
         in_specs=[
-            pl.BlockSpec((G, SCALE), lambda i: (i, 0),
+            pl.BlockSpec((G, SCALE // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, wpad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -689,12 +696,15 @@ def _decode_pallas_fn(c: int, wpad: int):
         f = jnp.minimum(freqs_i32.astype(jnp.uint32), jnp.uint32(SCALE - 1))
         cum_exc = (jnp.cumsum(f, axis=1) - f)
         syms = jnp.arange(256, dtype=jnp.uint32)[None, :]
-        packed = (syms << 24) | (f << 12) | cum_exc
         rows = jnp.arange(c, dtype=jnp.int32)[:, None]
         pos = jnp.where(f > 0, cum_exc.astype(jnp.int32), SCALE)
         vt = jnp.zeros((c, SCALE + 1), jnp.uint32).at[
-            rows, pos].set(packed, mode="drop")[:, :SCALE]
+            rows, pos].set(syms, mode="drop")[:, :SCALE]
         vt = jax.lax.cummax(vt, axis=1)
+        # 4 symbols per word: entry i covers residues 4i..4i+3
+        vt4 = (vt[:, 0::4] | (vt[:, 1::4] << 8) | (vt[:, 2::4] << 16)
+               | (vt[:, 3::4] << 24))
+        fc = (f << 12) | cum_exc                          # [C,256]
         st = jnp.zeros((c, 128), jnp.uint32).at[:, :4].set(states_u32)
 
         # slice each chunk's payload row out of the compact byte stream
@@ -705,7 +715,7 @@ def _decode_pallas_fn(c: int, wpad: int):
         _, prows = jax.lax.scan(take_row, None, off_bytes)       # [C, rowb]
         pay32 = ((prows[:, 0::2].astype(jnp.int32) << 8)
                  | prows[:, 1::2].astype(jnp.int32))
-        out, cur = fn(vt, st, pay32)
+        out, cur = fn(vt4, fc, st, pay32)
         return out, cur[:, 0]
 
     return run

@@ -291,6 +291,250 @@ def _pack_huff_headers(sizes, m, ok, frag_bits):
     return pack_slots_device(vals_u, nb)
 
 
+# ---------------------------------------------------------------------------
+# decode (Pallas): flat 12-bit prefix table per chunk, 4 fragment lanes.
+# Mirrors ops/ans.py's decode kernel: carry-dependent table lookups run as
+# an in-VMEM 32-subtable gather cascade; each fragment's bit cursor reads a
+# 32-bit window from per-lane sliding windows of OVERLAPPED payload words
+# (win32[i] = pair[i]<<16 | pair[i+1]), so the bit-window costs one gather.
+# Reference: src/entropy/HuffmanDecoder.cpp:204-278 (DECODING_BATCH_SIZE=12,
+# 4 interleaved states).
+# ---------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEC_G = 8
+_WIN = 256          # overlapped 32-bit words per fragment window
+# per-fragment payload row: <= 12*FRAG bits = 3072 pairs, + window margin
+_FRAG_WPAD = -(-(12 * FRAG // 16 + _WIN + 256) // 128) * 128
+
+
+def _huff_decode_kernel(vt4_ref, ln8_ref, bp_ref, pay_ref, out_ref, win_ref,
+                        base_ref):
+    """Decode G chunks x 4 fragment lanes, FRAG steps (one symbol per lane
+    per step).
+
+    vt4_ref [G,1024] u32: flat-table SYMBOLS, 4 per word (entry i covers
+    12-bit prefixes 4i..4i+3); ln8_ref [G,512] u32: flat-table code
+    LENGTHS, 8 nibbles per word -- the packing shrinks the dominant
+    gather cascade from 32 subtables to 8+4; bp_ref [G,128] i32 (lanes
+    0-3 = initial bit cursors, normally 0); pay_ref [G, 4*_FRAG_WPAD]
+    i32: per-fragment big-endian byte pairs, fragment f at
+    [f*_FRAG_WPAD:]; out_ref [G, FRAG] i32 (4 symbols word-packed
+    little-endian per step, byte k = fragment k). Scratch: win_ref
+    [G, 4*_WIN] i32 overlapped words (win[i] = pair[i]<<16 | pair[i+1]),
+    base_ref [G,128] i32 (lanes 0-3 = per-fragment window base, pairs).
+
+    Consumption <= 12 bits/step/lane (<1 pair); each (row,lane) window is
+    visited every 4G=32 steps (<=24 pairs consumed between visits), one
+    128-pair shift per visit keeps rel < 152 < _WIN."""
+    g = bp_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
+    frag_lane = jnp.minimum(lanes, 3)
+
+    # init windows: overlapped words from each fragment's first pairs
+    for f in range(4):
+        p = pay_ref[:, f * _FRAG_WPAD:f * _FRAG_WPAD + _WIN + 128]
+        p1 = pltpu.roll(p, p.shape[1] - 1, axis=1)   # p shifted left by 1
+        win_ref[:, f * _WIN:(f + 1) * _WIN] = (
+            (p[:, :_WIN] << 16) | (p1[:, :_WIN] & 0xFFFF))
+    base_ref[:] = jnp.zeros((g, 128), jnp.int32)
+
+    def step(t, carry):
+        bp, outtile = carry                   # [g,128] i32, [g,128] i32
+        pidx = bp >> 4
+        rel = pidx - base_ref[:]              # [g,128]; live lanes 0-3
+        widx = rel + frag_lane * _WIN
+        im = widx & 127
+        word = jnp.take_along_axis(win_ref[:, :128], im, axis=1)
+        for k in range(1, 4 * _WIN // 128):
+            wk = jnp.take_along_axis(win_ref[:, k * 128:(k + 1) * 128],
+                                     im, axis=1)
+            word = jnp.where((widx >> 7) == k, wk, word)
+        v12 = ((word.astype(jnp.uint32)
+                >> (20 - (bp & 15)).astype(jnp.uint32))
+               & 0xFFF).astype(jnp.int32)
+        i4 = v12 >> 2
+        vi = i4 & 127
+        acc = jnp.take_along_axis(vt4_ref[:, :128], vi, axis=1)
+        for k in range(1, 8):
+            gk = jnp.take_along_axis(vt4_ref[:, k * 128:(k + 1) * 128],
+                                     vi, axis=1)
+            acc = jnp.where((i4 >> 7) == k, gk, acc)
+        sym = ((acc >> ((v12 & 3) << 3).astype(jnp.uint32))
+               & 0xFF).astype(jnp.int32)
+        i8 = v12 >> 3
+        li = i8 & 127
+        lacc = jnp.take_along_axis(ln8_ref[:, :128], li, axis=1)
+        for k in range(1, 4):
+            lk = jnp.take_along_axis(ln8_ref[:, k * 128:(k + 1) * 128],
+                                     li, axis=1)
+            lacc = jnp.where((i8 >> 7) == k, lk, lacc)
+        ln = ((lacc >> ((v12 & 7) << 2).astype(jnp.uint32))
+              & 0xF).astype(jnp.int32)
+        bp = bp + ln
+
+        # round-robin refill: one (row, fragment-lane) per step. The
+        # when-conditions are evaluated every step, so the OUTER cond must
+        # be pure-t (scalar): reading a vector element (bp[r,f]) costs
+        # ~1 us, and nesting it keeps that read at 1 per step instead of
+        # 4*G per step.
+        for r in range(g):
+            for f in range(4):
+                @pl.when((((t >> 2) & (g - 1)) == r) & ((t & 3) == f))
+                def _(r=r, f=f):
+                    @pl.when(bp[r, f] // 16 - base_ref[r, f] >= 128)
+                    def _():
+                        newb = base_ref[r, f] + 128
+                        win_ref[r:r + 1,
+                                f * _WIN:(f + 1) * _WIN - 128] = \
+                            win_ref[r:r + 1, f * _WIN + 128:(f + 1) * _WIN]
+                        off = f * _FRAG_WPAD + pl.multiple_of(
+                            newb + _WIN - 128, 128)
+                        p = pay_ref[r:r + 1, pl.ds(off, 256)]
+                        p1 = pltpu.roll(p, 255, axis=1)
+                        win_ref[r:r + 1,
+                                (f + 1) * _WIN - 128:(f + 1) * _WIN] = \
+                            (p[:, :128] << 16) | (p1[:, :128] & 0xFFFF)
+                        base_ref[r:r + 1, f:f + 1] = jnp.broadcast_to(
+                            newb, (1, 1)).astype(jnp.int32)
+
+        word_out = (sym[:, 0:1] | (sym[:, 1:2] << 8) | (sym[:, 2:3] << 16)
+                    | (sym[:, 3:4] << 24))
+        outtile = jnp.where(lanes == (t & 127), word_out, outtile)
+
+        @pl.when((t & 127) == 127)
+        def _():
+            off = pl.multiple_of((t >> 7) << 7, 128)
+            out_ref[:, pl.ds(off, 128)] = outtile
+
+        outtile = jnp.where((t & 127) == 127, 0, outtile)
+        return bp, outtile
+
+    bp0 = bp_ref[:]
+    tile0 = jnp.zeros((g, 128), jnp.int32)
+    jax.lax.fori_loop(0, FRAG, step, (bp0, tile0))
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _huff_decode_run(codes_packed, sizes, pay32, c):
+    """codes_packed/sizes [C,256] (from compute_code_tables semantics or
+    host-parsed headers); pay32 [C, 4*_FRAG_WPAD] i32 byte pairs.
+    Returns out [C, FRAG] i32 word-packed symbols."""
+    vt = _build_vt(codes_packed, sizes, c)
+    s = (vt >> 4) & 0xFF
+    l8 = vt & 0xF
+    vt4 = s[:, 0::4] | (s[:, 1::4] << 8) | (s[:, 2::4] << 16) \
+        | (s[:, 3::4] << 24)
+    ln8 = l8[:, 0::8]
+    for k in range(1, 8):
+        ln8 = ln8 | (l8[:, k::8] << (4 * k))
+    bp = jnp.zeros((c, 128), jnp.int32)
+    fn = pl.pallas_call(
+        _huff_decode_kernel,
+        grid=(c // _DEC_G,),
+        in_specs=[
+            pl.BlockSpec((_DEC_G, 1 << 10), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DEC_G, 1 << 9), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DEC_G, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DEC_G, 4 * _FRAG_WPAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_DEC_G, FRAG), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, FRAG), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_DEC_G, 4 * _WIN), jnp.int32),
+                        pltpu.VMEM((_DEC_G, 128), jnp.int32)],
+    )
+    return fn(vt4, ln8, bp, pay32)
+
+
+def _build_vt(codes_packed, sizes, c):
+    rows = jnp.arange(c, dtype=jnp.int32)[:, None]
+    ln = sizes.astype(jnp.int32)
+    present = ln > 0
+    code = (codes_packed & 0xFFF).astype(jnp.int32)
+    start = jnp.where(present, code << (MAX_SYMBOL_SIZE - ln), 1 << 12)
+    rank = jnp.argsort(jnp.argsort(
+        jnp.where(present, start, 1 << 20), axis=1), axis=1)
+    syms = jnp.arange(256, dtype=jnp.int32)[None, :]
+    entry = ((rank.astype(jnp.uint32) << 16)
+             | (syms.astype(jnp.uint32) << 4) | ln.astype(jnp.uint32))
+    vt = jnp.zeros((c, (1 << 12) + 1), jnp.uint32).at[
+        rows, jnp.where(present, start, 1 << 12)].set(
+            entry, mode="drop")[:, :1 << 12]
+    return jax.lax.cummax(vt, axis=1)
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _huff_decode_xla(codes_packed, sizes, pay32, c):
+    """XLA-only fallback (CPU tests / driver dryrun): same contract as
+    _huff_decode_run but with a lax.scan + take_along_axis inner loop."""
+    vt = _build_vt(codes_packed, sizes, c)
+    pay = pay32.reshape(c, 4, _FRAG_WPAD)
+
+    def step(bp, _):
+        pidx = bp >> 4
+        p0 = jnp.take_along_axis(pay, pidx[..., None],
+                                 axis=2)[..., 0]
+        p1 = jnp.take_along_axis(pay, pidx[..., None] + 1,
+                                 axis=2)[..., 0]
+        word = ((p0.astype(jnp.uint32) << 16) | p1.astype(jnp.uint32))
+        v12 = ((word >> (20 - (bp & 15)).astype(jnp.uint32))
+               & 0xFFF).astype(jnp.int32)
+        e = jnp.take_along_axis(vt, v12, axis=1)
+        sym = ((e >> 4) & 0xFF).astype(jnp.int32)
+        ln = (e & 0xF).astype(jnp.int32)
+        word_out = (sym[:, 0] | (sym[:, 1] << 8) | (sym[:, 2] << 16)
+                    | (sym[:, 3] << 24))
+        return bp + ln, word_out
+
+    bp0 = jnp.zeros((c, 4), jnp.int32)
+    _, words = jax.lax.scan(step, bp0, None, length=FRAG)
+    return jnp.transpose(words, (1, 0))
+
+
+def huffman_decode_chunks(codes: np.ndarray, sizes: np.ndarray,
+                          frag_pay: np.ndarray):
+    """codes [C,256] u32 (canonical code values), sizes [C,256] i32,
+    frag_pay [C, 4, 2*_FRAG_WPAD] u8 (byte-aligned fragment payloads,
+    zero padded). Returns [C, CHUNK] u8 decoded chunks."""
+    c = codes.shape[0]
+    b = _bucket(c)
+    if b != c:
+        pad = b - c
+        codes = np.concatenate([codes, np.tile(
+            _TRIVIAL_CODES, (pad, 1))]).astype(np.uint32)
+        sizes = np.concatenate([sizes, np.tile(
+            _TRIVIAL_SIZES, (pad, 1))]).astype(np.int32)
+        frag_pay = np.concatenate(
+            [frag_pay, np.zeros((pad,) + frag_pay.shape[1:], np.uint8)])
+    pay32 = ((frag_pay[:, :, 0::2].astype(np.int32) << 8)
+             | frag_pay[:, :, 1::2].astype(np.int32)).reshape(
+                 b, 4 * _FRAG_WPAD)
+    run = _huff_decode_run if _on_tpu() else _huff_decode_xla
+    out = run(jnp.asarray(codes.astype(np.uint32)),
+              jnp.asarray(sizes.astype(np.int32)),
+              jnp.asarray(pay32), b)
+    out_u8 = np.ascontiguousarray(np.asarray(out[:c])).view(np.uint8)
+    # word byte k = fragment k, step t: reshape to fragment-major
+    return np.ascontiguousarray(
+        out_u8.reshape(c, FRAG, 4).transpose(0, 2, 1)).reshape(c, CHUNK)
+
+
+# padding rows decode garbage but must have a complete, valid table
+# (all 4096 entries covered): the trivial 1-bit alphabet {0,1}
+_TRIVIAL_CODES = np.zeros((1, 256), np.uint32)
+_TRIVIAL_CODES[0, 1] = 1
+_TRIVIAL_SIZES = np.zeros((1, 256), np.int32)
+_TRIVIAL_SIZES[0, 0] = 1
+_TRIVIAL_SIZES[0, 1] = 1
+
+
 def encode_chunks_np(chunks: np.ndarray):
     """Host wrapper. Returns numpy (hdr [C,512], hdr_bits [C], ok [C],
     m [C], flat (payload bytes view), npairs [C,4], resid_acc [C,4],
