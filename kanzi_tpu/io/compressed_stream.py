@@ -73,13 +73,19 @@ def _encode_block_phase1(block: np.ndarray, block_id: int, ctx: Context,
                          transform_type: int, entropy_type: int,
                          checksum_bits: int = 0,
                          listeners: Optional[ListenerBus] = None,
-                         slot_caps: Optional[list] = None) -> dict:
+                         slot_caps: Optional[list] = None,
+                         transformed: Optional[tuple] = None) -> dict:
     """Per-block pipeline up to (and including) the transform chain
     (EncodingTask::run :652-784). Returns the block state consumed by
     _encode_block_phase2. The slot's post-entropy input-buffer regrow is
     applied here (its value only depends on lengths known after the
     transform), preserving the reference's sequential cap evolution even
-    when many blocks run phase 1 before any runs phase 2."""
+    when many blocks run phase 1 before any runs phase 2.
+
+    transformed: optional (bytes_u8, skip_flags) precomputed by a device
+    pipeline (parallel/pipeline.py); the transform chain is then not run
+    here, but every surrounding decision (mode byte, slot-cap evolution,
+    framing) still is."""
     block = np.ascontiguousarray(np.asarray(block, dtype=np.uint8))
     block_len = len(block)
     t_type = transform_type
@@ -137,12 +143,17 @@ def _encode_block_phase1(block: np.ndarray, block_id: int, ctx: Context,
     required = transform.max_encoded_length(block_len)
     if slot_caps[1] < required:
         slot_caps[1] = required
-    out = transform.forward(block, input_capacity=slot_caps[0],
-                            output_capacity=slot_caps[1])
-    if transform.skip_flags == SKIP_MASK:
-        out = block  # every stage skipped: payload is the input bytes
+    if transformed is not None:
+        out, skip_flags = transformed
+        if skip_flags == SKIP_MASK:
+            out = block
+    else:
+        out = transform.forward(block, input_capacity=slot_caps[0],
+                                output_capacity=slot_caps[1])
+        if transform.skip_flags == SKIP_MASK:
+            out = block  # every stage skipped: payload is the input bytes
+        skip_flags = transform.skip_flags
     nb_transforms = len(transform)
-    skip_flags = transform.skip_flags
     post_len = len(out)
     bctx.put("size", post_len)
 
