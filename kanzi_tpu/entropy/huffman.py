@@ -468,6 +468,9 @@ class HuffmanDecoder(EntropyDecoder):
             tbl_len[idx:idx + w] = ln
         sz_frag = count // 4
         frag_bits = [eu.read_varint(self.ibs) for _ in range(4)]
+        from kanzi_tpu.utils import native
+        use_native = native.transforms_available()
+        tbl_len_u8 = tbl_len.astype(np.uint8) if use_native else None
         for j in range(4):
             nb = frag_bits[j]
             nbytes = (nb + 7) >> 3
@@ -475,6 +478,11 @@ class HuffmanDecoder(EntropyDecoder):
             if nb & 7:
                 tail = self.ibs.read_bits(nb & 7)
                 raw.append((tail << (8 - (nb & 7))) & 0xFF)
+            if use_native:
+                native.huff_dec_frag(
+                    bytes(raw), sz_frag, tbl_sym, tbl_len_u8,
+                    out[start + j * sz_frag:start + (j + 1) * sz_frag])
+                continue
             bits = unpack_bits(bytes(raw), nbytes * 8)
             win = sliding_window_values(bits, DECODING_BATCH_SIZE)
             lens = tbl_len[win]

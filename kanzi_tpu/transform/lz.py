@@ -294,6 +294,9 @@ class LZCodec(ByteTransform):
         bs_version = self.ctx.get_int("bsVersion", 6)
         if bs_version < 6:
             raise NotImplementedError("legacy LZ bitstream (bsVersion<6)")
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            return native.lzx_inverse(src, max(4 * count, 1 << 20))
         data = src.tolist()
         tk_idx = int.from_bytes(src[0:4].tobytes(), "little", signed=True)
         m_idx = int.from_bytes(src[4:8].tobytes(), "little", signed=True)

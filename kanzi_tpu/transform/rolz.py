@@ -200,12 +200,20 @@ class _ROLZCodec1:
         if capacity < self.max_encoded_length(count):
             return None
         src_end = count - 4
-        data = src.tolist()
-        padded = np.concatenate([src, np.zeros(8, np.uint8)]).astype(np.uint64)
-        w = np.zeros(count, dtype=np.uint64)
-        for k in range(8):
-            w |= padded[k:count + k] << np.uint64(8 * k)
-        wl = w.tolist()
+        from kanzi_tpu.utils import native as _nat
+        use_native = _nat.transforms_available()
+        if not use_native:
+            data = src.tolist()
+            padded = np.concatenate([src,
+                                     np.zeros(8, np.uint8)]).astype(np.uint64)
+            w = np.zeros(count, dtype=np.uint64)
+            for k in range(8):
+                w |= padded[k:count + k] << np.uint64(8 * k)
+            wl = w.tolist()
+        else:
+            data_padded = np.concatenate([src, np.zeros(8, np.uint8)])
+            n_counters = np.zeros(HASH_SIZE, np.int32)
+            n_matches = np.zeros(HASH_SIZE << self.lpc, np.uint32)
 
         dst = bytearray()
         dst += (count & M32).to_bytes(4, "big")
@@ -216,21 +224,48 @@ class _ROLZCodec1:
         dst.append(flags)
         cond = min_match == MIN_MATCH3
         max_match_c = MAX_MATCH1
-        table = _MatchTable(self.lpc)
+        table = _MatchTable(self.lpc) if not use_native else None
         size_chunk = min(count, CHUNK_SIZE)
         start_chunk = 0
         success = True
         src_idx = 0
 
         while start_chunk < src_end:
+            end_chunk = min(start_chunk + size_chunk, src_end)
+            size_chunk = end_chunk - start_chunk
+            base = start_chunk
+            if use_native:
+                n_matches[:] = 0
+                lit, tk, lens, midx = _nat.rolz1_parse(
+                    data_padded, count, base, size_chunk, src_end, cond,
+                    delta, min_match, self.lpc, n_counters, n_matches)
+                obs = BitWriter()
+                obs.write_bits(len(lit), 32)
+                obs.write_bits(len(tk), 32)
+                obs.write_bits(len(lens), 32)
+                obs.write_bits(len(midx), 32)
+                sub_ctx = Context({"bsVersion": 6})
+                enc = ANSRangeEncoder(obs, sub_ctx, order=lit_order)
+                enc.encode(lit)
+                enc.dispose()
+                enc2 = ANSRangeEncoder(obs, sub_ctx, order=0,
+                                       chunk_size=32768)
+                enc2.encode(tk)
+                enc2.encode(lens)
+                enc2.encode(midx)
+                enc2.dispose()
+                payload = obs.getvalue()
+                if len(dst) + len(payload) > capacity:
+                    success = False
+                    break
+                dst += payload
+                start_chunk = end_chunk
+                continue
             lit = bytearray()
             lens = bytearray()
             midx = bytearray()
             tk = bytearray()
             table.clear_matches()
-            end_chunk = min(start_chunk + size_chunk, src_end)
-            size_chunk = end_chunk - start_chunk
-            base = start_chunk
             src_idx = 0
             n = min(src_end - start_chunk, 8)
             for _ in range(n):
@@ -312,7 +347,7 @@ class _ROLZCodec1:
 
         if success:
             if len(dst) + 4 <= capacity:
-                dst += bytes(data[src_end:src_end + 4])
+                dst += src[src_end:src_end + 4].tobytes()
             else:
                 return None
         else:
@@ -346,14 +381,20 @@ class _ROLZCodec1:
         lpc = flags >> 4
         if lpc < 2 or lpc > 8:
             raise ValueError("ROLZ: invalid logPosChecks")
-        table = _MatchTable(lpc)
+        from kanzi_tpu.utils import native as _nat
+        use_native = _nat.transforms_available()
+        if use_native:
+            n_counters = np.zeros(HASH_SIZE, np.int32)
+            n_matches = np.zeros(HASH_SIZE << lpc, np.uint32)
+            n_out = np.zeros(dst_end + 8, np.uint8)
+            n_written = 0
+        table = _MatchTable(lpc) if not use_native else None
         cond = min_match == MIN_MATCH3
         size_chunk = min(dst_end, CHUNK_SIZE)
         start_chunk = 0
         out = bytearray()
 
         while start_chunk < dst_end:
-            table.clear_matches()
             end_chunk = min(start_chunk + size_chunk, dst_end)
             size_chunk = end_chunk - start_chunk
             if src_idx >= count:
@@ -370,14 +411,37 @@ class _ROLZCodec1:
                 raise ValueError("ROLZ: invalid stream layout")
             sub_ctx = Context({"bsVersion": 6})
             dec = ANSRangeDecoder(ibs, sub_ctx, order=lit_order)
-            lit = dec.decode(lit_len_total).tolist()
+            lit_np = dec.decode(lit_len_total)
             dec.dispose()
             dec2 = ANSRangeDecoder(ibs, sub_ctx, order=0, chunk_size=32768)
-            tk = dec2.decode(tk_len).tolist()
-            lens = dec2.decode(mlen_len).tolist() + [0] * 4
-            midx = dec2.decode(midx_len).tolist()
+            tk_np = dec2.decode(tk_len)
+            lens_np = dec2.decode(mlen_len)
+            midx_np = dec2.decode(midx_len)
             dec2.dispose()
             src_idx += (ibs.tell() + 7) >> 3
+
+            if use_native:
+                if tk_len == 0:
+                    if lit_len_total != size_chunk:
+                        raise ValueError(
+                            "ROLZ: literal-only chunk size mismatch")
+                    n_out[n_written:n_written + size_chunk] = lit_np
+                    n_written += size_chunk
+                    start_chunk = end_chunk
+                    continue
+                n_matches[:] = 0
+                _nat.rolz1_rebuild(
+                    lit_np, tk_np, lens_np, midx_np, n_out, n_written,
+                    size_chunk, dst_end, cond, delta, min_match, lpc,
+                    n_counters, n_matches)
+                n_written += size_chunk
+                start_chunk = end_chunk
+                continue
+
+            lit = lit_np.tolist()
+            tk = tk_np.tolist()
+            lens = lens_np.tolist() + [0] * 4
+            midx = midx_np.tolist()
 
             if tk_len == 0:
                 if lit_len_total != size_chunk:
@@ -461,6 +525,9 @@ class _ROLZCodec1:
 
         if count - src_idx != 4:
             raise ValueError("ROLZ: missing tail bytes")
+        if use_native:
+            n_out[n_written:n_written + 4] = src[src_idx:src_idx + 4]
+            return n_out[:n_written + 4].copy()
         out += bytes(data[src_idx:src_idx + 4])
         return np.frombuffer(bytes(out), dtype=np.uint8)
 

@@ -80,6 +80,21 @@ def _load(name: str):
                 lib.kz_lzp_inverse.argtypes = [u8p, i64, u8p, i64]
                 lib.kz_exe_detect_scan.restype = None
                 lib.kz_exe_detect_scan.argtypes = [u8p, i64, i64, i64p, i64p]
+                lib.kz_lzx_inverse.restype = i64
+                lib.kz_lzx_inverse.argtypes = [u8p, i64, u8p, i64]
+                lib.kz_huff_dec_frag.restype = i64
+                lib.kz_huff_dec_frag.argtypes = [u8p, i64, u8p, u8p, u8p]
+                lib.kz_rolz1_parse.restype = ctypes.c_int
+                lib.kz_rolz1_parse.argtypes = [
+                    u8p, i64, i64, i64, i64, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, i32p,
+                    ctypes.POINTER(ctypes.c_uint32),
+                    u8p, i64p, u8p, i64p, u8p, i64p, u8p, i64p]
+                lib.kz_rolz1_rebuild.restype = i64
+                lib.kz_rolz1_rebuild.argtypes = [
+                    u8p, i64, u8p, i64, u8p, i64, u8p, i64, u8p, i64, i64,
+                    i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, i32p, ctypes.POINTER(ctypes.c_uint32)]
             elif name == "sais":
                 i64 = ctypes.c_int64
                 i64p = ctypes.POINTER(i64)
@@ -301,6 +316,88 @@ def lzp_inverse(src: np.ndarray, dst_cap: int) -> np.ndarray:
     if n < 0:
         raise ValueError("LZP: output overflow")
     return dst[:n]
+
+
+def lzx_inverse(src: np.ndarray, dst_cap: int):
+    """Returns output array; raises ValueError on malformed stream."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    cap = dst_cap
+    while True:
+        dst = np.empty(cap, np.uint8)
+        n = lib.kz_lzx_inverse(_u8ptr(src), len(src), _u8ptr(dst), cap)
+        if n == -2:
+            raise ValueError("LZ codec: malformed stream")
+        if n == -3:
+            if cap >= (1 << 30):
+                raise ValueError("LZ codec: output overflow")
+            cap *= 4
+            continue
+        return dst[:n]
+
+
+def huff_dec_frag(buf: bytes, sz_frag: int, tbl_sym: np.ndarray,
+                  tbl_len: np.ndarray, out: np.ndarray) -> int:
+    """Decode one Huffman fragment; returns bits consumed."""
+    lib = _load("transforms")
+    b = np.frombuffer(buf + b"\x00" * 8, np.uint8)
+    tbl_sym = np.ascontiguousarray(tbl_sym, np.uint8)
+    tbl_len = np.ascontiguousarray(tbl_len, np.uint8)
+    return int(lib.kz_huff_dec_frag(_u8ptr(b), sz_frag, _u8ptr(tbl_sym),
+                                    _u8ptr(tbl_len), _u8ptr(out)))
+
+
+def rolz1_parse(data_padded: np.ndarray, count: int, base: int,
+                size_chunk: int, src_end: int, cond: bool, delta: int,
+                min_match: int, lpc: int, counters: np.ndarray,
+                matches: np.ndarray):
+    """Returns (lit, tk, lens, midx) byte arrays for one chunk."""
+    lib = _load("transforms")
+    cap = size_chunk + 32
+    lit = np.empty(cap, np.uint8)
+    tk = np.empty(cap, np.uint8)
+    lens = np.empty(cap, np.uint8)
+    midx = np.empty(cap, np.uint8)
+    outl = np.zeros(4, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+
+    def p64(i):
+        return ctypes.cast(outl.ctypes.data + 8 * i, i64p)
+
+    lib.kz_rolz1_parse(
+        _u8ptr(data_padded), count, base, size_chunk, src_end,
+        int(cond), delta, min_match, lpc,
+        counters.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        matches.ctypes.data_as(u32p),
+        _u8ptr(lit), p64(0), _u8ptr(tk), p64(1),
+        _u8ptr(lens), p64(2), _u8ptr(midx), p64(3))
+    return (lit[:outl[0]], tk[:outl[1]], lens[:outl[2]], midx[:outl[3]])
+
+
+def rolz1_rebuild(lit: np.ndarray, tk: np.ndarray, lens: np.ndarray,
+                  midx: np.ndarray, out: np.ndarray, chunk_base: int,
+                  size_chunk: int, dst_end: int, cond: bool, delta: int,
+                  min_match: int, lpc: int, counters: np.ndarray,
+                  matches: np.ndarray) -> int:
+    lib = _load("transforms")
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lens_p = np.concatenate([np.asarray(lens, np.uint8),
+                             np.zeros(4, np.uint8)])
+    rc = lib.kz_rolz1_rebuild(
+        _u8ptr(np.ascontiguousarray(lit, np.uint8)), len(lit),
+        _u8ptr(np.ascontiguousarray(tk, np.uint8)), len(tk),
+        _u8ptr(lens_p), len(lens),
+        _u8ptr(np.ascontiguousarray(midx, np.uint8)), len(midx),
+        _u8ptr(out), chunk_base, size_chunk, dst_end,
+        int(cond), delta, min_match, lpc,
+        counters.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        matches.ctypes.data_as(u32p))
+    if rc == -2:
+        raise ValueError("ROLZ: malformed chunk")
+    if rc == -3:
+        raise ValueError("ROLZ: buffers not fully consumed")
+    return int(rc)
 
 
 def exe_detect_scan(src: np.ndarray, code_start: int, code_end: int):

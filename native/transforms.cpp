@@ -442,6 +442,144 @@ int64_t kz_lzp_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
     return dst_idx;
 }
 
+// LZX inverse (kanzi_tpu/transform/lz.py LZXCodec.inverse; reference
+// src/transform/LZCodec.cpp inverseV6 :469-565). Returns output length,
+// -2 on malformed stream, -3 on output overflow (caller grows + retries).
+int64_t kz_lzx_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
+                       int64_t dst_cap) {
+    constexpr int64_t MAX_DISTANCE1 = (1 << 16) - 2;
+    constexpr int64_t MAX_DISTANCE2 = (1 << 24) - 2;
+    if (count < 13) return -2;
+    auto le32 = [&](int64_t i) {
+        return int64_t(src[i]) | (int64_t(src[i + 1]) << 8)
+             | (int64_t(src[i + 2]) << 16) | (int64_t(src[i + 3]) << 24);
+    };
+    int64_t tk_idx = le32(0);
+    int64_t m_idx = le32(4);
+    int64_t mlen_idx = le32(8);
+    if (tk_idx < 0 || m_idx < 0 || mlen_idx < 0) return -2;
+    if (tk_idx < 13 || tk_idx > count || m_idx > count - tk_idx
+        || mlen_idx > count - tk_idx - m_idx)
+        return -2;
+    m_idx += tk_idx;
+    mlen_idx += m_idx;
+
+    const int64_t src_end = tk_idx - 13;
+    const int64_t lit_end = tk_idx;
+    const int64_t max_dist = ((src[12] & 1) == 0) ? MAX_DISTANCE1
+                                                  : MAX_DISTANCE2;
+    const int min_match = ((src[12] >> 1) & 0x07) + 2;
+    int64_t src_idx = 13;
+    int64_t o = 0;
+    int64_t repd0 = count, repd1 = count;
+
+    auto read_length = [&](int64_t& pos) -> int64_t {
+        if (pos >= count) return -1;
+        int64_t res = src[pos++];
+        if (res < 254) return res;
+        if (res == 254) {
+            if (pos + 2 > count) return -1;
+            res += (int64_t(src[pos]) << 8) | src[pos + 1];
+            pos += 2;
+            return res;
+        }
+        if (pos + 3 > count) return -1;
+        res += (int64_t(src[pos]) << 16) | (int64_t(src[pos + 1]) << 8)
+             | src[pos + 2];
+        pos += 3;
+        return res;
+    };
+
+    while (true) {
+        if (tk_idx >= count) return -2;
+        const int token = src[tk_idx++];
+        int64_t mlen, dist;
+        if ((token & 0x18) == 0) {
+            mlen = token & 0x03;
+            if (mlen == 3) {
+                const int64_t extra = read_length(mlen_idx);
+                if (extra < 0) return -2;
+                mlen = 3 + min_match + extra;
+            } else {
+                mlen += min_match;
+            }
+            dist = ((token & 0x04) == 0) ? repd0 : repd1;
+        } else {
+            mlen = token & 0x07;
+            if (mlen == 7) {
+                const int64_t extra = read_length(mlen_idx);
+                if (extra < 0) return -2;
+                mlen = 7 + min_match + extra;
+            } else {
+                mlen += min_match;
+            }
+            if (m_idx >= count) return -2;
+            dist = src[m_idx++];
+            const int f1 = (token >> 4) & 1;
+            const int f2 = (token >> 3) & f1;
+            if (f1) {
+                if (m_idx >= count) return -2;
+                dist = (dist << 8) | src[m_idx++];
+            }
+            if (f2) {
+                if (m_idx >= count) return -2;
+                dist = (dist << 8) | src[m_idx++];
+            }
+        }
+
+        if (token >= 32) {
+            int64_t lit_len;
+            if (token >= 0xE0) {
+                const int64_t extra = read_length(src_idx);
+                if (extra < 0) return -2;
+                lit_len = 7 + extra;
+            } else {
+                lit_len = token >> 5;
+            }
+            if (lit_len > lit_end - src_idx) return -2;
+            if (o + lit_len > dst_cap) return -3;
+            std::memcpy(dst + o, src + src_idx, lit_len);
+            o += lit_len;
+            src_idx += lit_len;
+            if (src_idx >= src_end) break;
+        }
+
+        repd1 = repd0;
+        repd0 = dist;
+        int64_t ref = o - dist;
+        if (ref < 0 || dist > max_dist) return -2;
+        if (o + mlen > dst_cap) return -3;
+        if (dist >= mlen) {
+            std::memcpy(dst + o, dst + ref, mlen);
+            o += mlen;
+        } else {
+            for (int64_t i = 0; i < mlen; i++, o++) dst[o] = dst[ref + i];
+        }
+    }
+    if (src_idx != src_end + 13) return -2;
+    return o;
+}
+
+// Huffman fragment decode: flat 12-bit prefix table walk
+// (kanzi_tpu/entropy/huffman.py _decode_chunk; reference
+// src/entropy/HuffmanDecoder.cpp:204-278). buf must have
+// (nbits+7)/8 + 8 readable bytes. Returns bits consumed.
+int64_t kz_huff_dec_frag(const uint8_t* buf, int64_t sz_frag,
+                         const uint8_t* tbl_sym, const uint8_t* tbl_len,
+                         uint8_t* out) {
+    int64_t bp = 0;
+    for (int64_t i = 0; i < sz_frag; i++) {
+        const int64_t byte = bp >> 3;
+        const uint32_t w24 = (uint32_t(buf[byte]) << 16)
+                           | (uint32_t(buf[byte + 1]) << 8)
+                           | buf[byte + 2];
+        const uint32_t v12 = (w24 >> (12 - (bp & 7))) & 0xFFF;
+        out[i] = tbl_sym[v12];
+        bp += tbl_len[v12];
+    }
+    return bp;
+}
+
 // EXE detectType histogram + jump-count scan
 // (kanzi_tpu/transform/exe.py detect_type main loop).
 void kz_exe_detect_scan(const uint8_t* src, int64_t code_start,
@@ -495,6 +633,276 @@ void kz_exe_detect_scan(const uint8_t* src, int64_t code_start,
     }
     jumps_out[0] = jumps_x86;
     jumps_out[1] = jumps_arm;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ROLZ codec1 (kanzi_tpu/transform/rolz.py _ROLZCodec1; reference
+// src/transform/ROLZCodec.cpp:99-400): per-chunk LZ parse producing the
+// lit/tk/lens/midx streams (forward) and the chunk rebuild (inverse).
+// The internal ANS coding of the four streams stays in Python (it runs on
+// the native ANS lanes / device kernels).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int64_t ROLZ_HASH_SIZE = 65536;
+constexpr uint32_t ROLZ_HASH = 200002979u;
+constexpr uint32_t ROLZ_HASH_MASK32 = 0xFF000000u;  // ~(CHUNK_SIZE-1)
+constexpr int ROLZ_MAX_MATCH1 = 3 + 65535;
+
+inline uint32_t rolz_key1(const uint8_t* p) {
+    return (uint32_t(p[0]) | (uint32_t(p[1]) << 8)) & (ROLZ_HASH_SIZE - 1);
+}
+
+inline uint64_t rolz_word(const uint8_t* p) {
+    uint64_t w;
+    std::memcpy(&w, p, 8);                       // little-endian host
+    return w;
+}
+
+inline uint32_t rolz_key2(const uint8_t* p) {
+    return uint32_t((rolz_word(p) * ROLZ_HASH) >> 40) & (ROLZ_HASH_SIZE - 1);
+}
+
+inline uint32_t rolz_hash32(const uint8_t* p) {
+    uint32_t le;
+    std::memcpy(&le, p, 4);
+    return ((le << 8) * ROLZ_HASH) & ROLZ_HASH_MASK32;
+}
+
+inline void rolz_emit_length1(uint8_t* buf, int64_t& w, int64_t length) {
+    if (length < (1 << 7)) { buf[w++] = uint8_t(length); return; }
+    if (length >= (1 << 14)) {
+        if (length >= (1 << 21))
+            buf[w++] = uint8_t(0x80 | ((length >> 21) & 0x7F));
+        buf[w++] = uint8_t(0x80 | ((length >> 14) & 0x7F));
+    }
+    buf[w++] = uint8_t(0x80 | ((length >> 7) & 0x7F));
+    buf[w++] = uint8_t(length & 0x7F);
+}
+
+inline int64_t rolz_read_length1(const uint8_t* data, int64_t& pos) {
+    int nxt = data[pos++];
+    if (nxt < 128) return nxt;
+    int64_t length = nxt & 0x7F;
+    nxt = data[pos++];
+    length = (length << 7) | (nxt & 0x7F);
+    if (nxt >= 128) {
+        nxt = data[pos++];
+        length = (length << 7) | (nxt & 0x7F);
+        if (nxt >= 128) {
+            nxt = data[pos++];
+            length = (length << 7) | (nxt & 0x7F);
+        }
+    }
+    return length;
+}
+
+// returns -1 (no match) or ((s - best_idx) << 16) | (best_len - min_match)
+inline int64_t rolz_find_match1(const uint8_t* data, int64_t base,
+                                int64_t pos, int64_t end, uint32_t h32,
+                                const int32_t* counters,
+                                const uint32_t* matches, uint32_t key,
+                                int min_match, int lpc) {
+    const int pos_checks = 1 << lpc;
+    const int mask = pos_checks - 1;
+    const int32_t s = counters[key];
+    const int64_t mbase = int64_t(key) << lpc;
+    int64_t best_len = 0;
+    int64_t best_idx = -1;
+    const int64_t max_match =
+        ((ROLZ_MAX_MATCH1 < end - pos) ? ROLZ_MAX_MATCH1 : end - pos) - 8;
+    for (int32_t i = s; i > s - pos_checks; i--) {
+        uint32_t ref = matches[mbase + (i & mask)];
+        if ((ref & ROLZ_HASH_MASK32) != h32) continue;
+        ref &= ~ROLZ_HASH_MASK32;
+        if (data[base + ref + best_len] != data[base + pos + best_len])
+            continue;
+        int64_t n = 0;
+        while (n < max_match) {
+            const uint64_t d = rolz_word(data + base + ref + n)
+                             ^ rolz_word(data + base + pos + n);
+            if (d) { n += __builtin_ctzll(d) >> 3; break; }
+            n += 8;
+        }
+        if (n > best_len) { best_idx = i; best_len = n; }
+    }
+    if (best_len < min_match) return -1;
+    return ((int64_t(s) - best_idx) << 16) | (best_len - min_match);
+}
+
+}  // namespace
+
+extern "C" {
+
+// One chunk of the ROLZ(1) forward parse. data must have count+8 readable
+// bytes (zero padded). Stream buffers must each hold size_chunk+32 bytes.
+// Lengths returned via the int64 out-params. Returns 0.
+int kz_rolz1_parse(const uint8_t* data, int64_t count, int64_t base,
+                   int64_t size_chunk, int64_t src_end, int cond,
+                   int delta, int min_match, int lpc, int32_t* counters,
+                   uint32_t* matches, uint8_t* lit, int64_t* lit_len_out,
+                   uint8_t* tk, int64_t* tk_len_out, uint8_t* lens,
+                   int64_t* lens_len_out, uint8_t* midx,
+                   int64_t* midx_len_out) {
+    const int mask = (1 << lpc) - 1;
+    int64_t wl = 0, wt = 0, wn = 0, wm = 0;
+    int64_t src_idx = 0;
+    {
+        int64_t n = src_end - base;
+        if (n > 8) n = 8;
+        for (int64_t i = 0; i < n; i++) lit[wl++] = data[base + src_idx++];
+    }
+    int64_t first_lit = src_idx;
+    int64_t src_inc = 0;
+
+    while (src_idx < size_chunk) {
+        const int64_t rpos = base + src_idx - delta;
+        uint32_t key = cond ? rolz_key1(data + rpos) : rolz_key2(data + rpos);
+        const uint32_t h32 = rolz_hash32(data + base + src_idx);
+        int64_t match = rolz_find_match1(data, base, src_idx, size_chunk,
+                                         h32, counters, matches, key,
+                                         min_match, lpc);
+        counters[key] = (counters[key] + 1) & mask;
+        matches[(int64_t(key) << lpc) + counters[key]] =
+            h32 | uint32_t(src_idx);
+
+        if (match < 0) {
+            src_idx += 1 + (src_inc >> 6);
+            src_inc++;
+            continue;
+        }
+
+        const int64_t src_idx1 = src_idx + 1;
+        const int64_t rpos1 = base + src_idx1 - delta;
+        const uint32_t key2 = cond ? rolz_key1(data + rpos1)
+                                   : rolz_key2(data + rpos1);
+        const uint32_t h32b = rolz_hash32(data + base + src_idx1);
+        const int64_t match2 = rolz_find_match1(
+            data, base, src_idx1, size_chunk, h32b, counters, matches,
+            key2, min_match, lpc);
+        if (match2 >= 0 && (match2 & 0xFFFF) > (match & 0xFFFF)) {
+            match = match2;
+            src_idx = src_idx1;
+            counters[key2] = (counters[key2] + 1) & mask;
+            matches[(int64_t(key2) << lpc) + counters[key2]] =
+                h32b | uint32_t(src_idx);
+        }
+
+        const int64_t lit_run = src_idx - first_lit;
+        const int token = (lit_run < 31) ? int(lit_run << 3) : 0xF8;
+        const int64_t mlen = match & 0xFFFF;
+        if (mlen >= 7) {
+            tk[wt++] = uint8_t(token | 0x07);
+            rolz_emit_length1(lens, wn, mlen - 7);
+        } else {
+            tk[wt++] = uint8_t(token | mlen);
+        }
+        if (lit_run > 0) {
+            if (lit_run >= 31) rolz_emit_length1(lens, wn, lit_run - 31);
+            std::memcpy(lit + wl, data + base + first_lit, lit_run);
+            wl += lit_run;
+        }
+        midx[wm++] = uint8_t((match >> 16) & 0xFF);
+        src_idx += mlen + min_match;
+        first_lit = src_idx;
+        src_inc = 0;
+    }
+
+    const int64_t lit_run = size_chunk - first_lit;
+    if (wt != 0)
+        tk[wt++] = uint8_t((lit_run < 31) ? (lit_run << 3) : 0xF8);
+    if (lit_run >= 31) rolz_emit_length1(lens, wn, lit_run - 31);
+    if (lit_run > 0) {
+        std::memcpy(lit + wl, data + base + first_lit, lit_run);
+        wl += lit_run;
+    }
+    *lit_len_out = wl;
+    *tk_len_out = wt;
+    *lens_len_out = wn;
+    *midx_len_out = wm;
+    return 0;
+}
+
+// One chunk of the ROLZ(1) inverse rebuild. out must hold dst_end+8 bytes
+// (zero padded tail for the key2 word reads); lens must have mlen_len+4
+// readable bytes. Returns final dst_idx (== size_chunk) or a negative
+// error (-2 truncated/overrun, -3 buffers not fully consumed).
+int64_t kz_rolz1_rebuild(const uint8_t* lit, int64_t lit_total,
+                         const uint8_t* tk, int64_t tk_len,
+                         const uint8_t* lens, int64_t mlen_len,
+                         const uint8_t* midx, int64_t midx_len,
+                         uint8_t* out, int64_t chunk_base,
+                         int64_t size_chunk, int64_t dst_end, int cond,
+                         int delta, int min_match, int lpc,
+                         int32_t* counters, uint32_t* matches) {
+    const int mask = (1 << lpc) - 1;
+    int64_t lit_idx = 0, lens_idx = 0, midx_idx = 0, tk_idx = 0;
+    int64_t dst_idx = 0;
+    {
+        int64_t n = dst_end - chunk_base;
+        if (n > 8) n = 8;
+        for (int64_t i = 0; i < n; i++)
+            out[chunk_base + dst_idx++] = lit[lit_idx++];
+    }
+
+    while (dst_idx < size_chunk) {
+        if (tk_idx >= tk_len) return -2;
+        const int token = tk[tk_idx++];
+        int64_t mlen = token & 0x07;
+        if (mlen == 7) {
+            if (lens_idx >= mlen_len) return -2;
+            mlen = 7 + min_match + rolz_read_length1(lens, lens_idx);
+        } else {
+            mlen += min_match;
+        }
+        int64_t lit_run = token >> 3;
+        if (token >= 0xF8) {
+            if (lens_idx >= mlen_len) return -2;
+            lit_run = rolz_read_length1(lens, lens_idx) + 31;
+        }
+        if (lit_run > 0) {
+            if (lit_idx + lit_run > lit_total) return -2;
+            std::memcpy(out + chunk_base + dst_idx, lit + lit_idx, lit_run);
+            int64_t src_inc = 0;
+            int64_t k = 0;
+            while (k < lit_run) {
+                const int64_t rp = chunk_base + dst_idx + k - delta;
+                const uint32_t key = cond ? rolz_key1(out + rp)
+                                          : rolz_key2(out + rp);
+                counters[key] = (counters[key] + 1) & mask;
+                matches[(int64_t(key) << lpc) + counters[key]] =
+                    uint32_t(dst_idx + k);
+                k += 1 + (src_inc >> 6);
+                src_inc++;
+            }
+            lit_idx += lit_run;
+            dst_idx += lit_run;
+            if (dst_idx >= size_chunk) {
+                if (dst_idx == size_chunk) break;
+                return -2;
+            }
+        }
+        if (chunk_base + dst_idx + mlen > dst_end) return -2;
+        if (midx_idx >= midx_len) return -2;
+        const int m_idx = midx[midx_idx++];
+        const int64_t rp = chunk_base + dst_idx - delta;
+        const uint32_t key = cond ? rolz_key1(out + rp)
+                                  : rolz_key2(out + rp);
+        int64_t ref = matches[(int64_t(key) << lpc)
+                              + ((counters[key] - m_idx) & mask)];
+        counters[key] = (counters[key] + 1) & mask;
+        matches[(int64_t(key) << lpc) + counters[key]] = uint32_t(dst_idx);
+        for (int64_t i = 0; i < mlen; i++, dst_idx++)
+            out[chunk_base + dst_idx] = out[chunk_base + ref + i];
+    }
+
+    if (tk_idx != tk_len || midx_idx != midx_len || lit_idx != lit_total
+        || lens_idx != mlen_len)
+        return -3;
+    return dst_idx;
 }
 
 }  // extern "C"
