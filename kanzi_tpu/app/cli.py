@@ -166,6 +166,9 @@ def compress_file(in_path, out_path, args, level, transform, entropy,
                              checksum_bits=_checksum_bits(args),
                              original_size=file_size or 0, jobs=args.jobs,
                              ctx=ctx)
+        if verbose > 2:
+            from kanzi_tpu.app.info_printer import COMPRESSION, InfoPrinter
+            w.listeners.add(InfoPrinter(verbose, COMPRESSION))
         while True:
             chunk = src.read(65536)
             if not chunk:
@@ -184,6 +187,9 @@ def compress_file(in_path, out_path, args, level, transform, entropy,
         ratio = out_size / read if read else 0
         print(f"Compressed {in_path}:  {read} => {out_size} "
               f"({100 * ratio:.2f}%) in {1000 * dt:.0f} ms", file=sys.stderr)
+    if verbose >= 2 and out_size is not None and dt > 0:
+        print(f"Throughput (KiB/s): {read / 1024 / dt:.0f}",
+              file=sys.stderr)
     if args.rm and in_path != "-":
         os.remove(in_path)
     return read, out_size
@@ -192,8 +198,13 @@ def compress_file(in_path, out_path, args, level, transform, entropy,
 def decompress_file(in_path, out_path, args, verbose=1):
     t0 = time.time()
     data = sys.stdin.buffer.read() if in_path == "-" else open(in_path, "rb").read()
-    ctx = Context({"verbosity": args.verbose})
+    ctx = Context({"verbosity": args.verbose, "inputName": in_path,
+                   "fileSize": len(data)})
     r = CompressedReader(data, jobs=args.jobs, ctx=ctx)
+    if verbose > 2:
+        from kanzi_tpu.app.info_printer import DECOMPRESSION, InfoPrinter
+        r.listeners.add(InfoPrinter(verbose, DECOMPRESSION))
+        r.emit_header_event()
     kwargs = {}
     if args.from_block is not None:
         kwargs["from_block"] = args.from_block
@@ -209,22 +220,36 @@ def decompress_file(in_path, out_path, args, verbose=1):
     if verbose >= 1:
         print(f"Decompressed {in_path}:  {len(data)} => {len(out)} "
               f"in {1000 * dt:.0f} ms", file=sys.stderr)
+    if verbose >= 2 and dt > 0:
+        print(f"Throughput (KiB/s): {len(out) / 1024 / dt:.0f}",
+              file=sys.stderr)
     if args.rm and in_path != "-":
         os.remove(in_path)
     return len(data), len(out)
 
 
+_INFO_PRINTER = None
+
+
 def info_file(in_path, args):
-    from kanzi_tpu.entropy.factory import entropy_type_to_name
-    from kanzi_tpu.transform.factory import transform_type_to_name
+    """-y: header table + first-block validation (the reference runs a
+    decompression of block 1 with a NULL sink and an INFO printer,
+    src/app/BlockDecompressor.cpp:78-115)."""
+    global _INFO_PRINTER
+    from kanzi_tpu.app.info_printer import INFO, InfoPrinter
+    if _INFO_PRINTER is None:
+        _INFO_PRINTER = InfoPrinter(max(args.verbose, 1), INFO,
+                                    out=sys.stdout)
     data = open(in_path, "rb").read()
-    r = CompressedReader(data)
-    orig = r.output_size if r.output_size else None
-    print(f"{os.path.basename(in_path):20s} | ver {r.bs_version} | "
-          f"check {r.checksum_bits} | block {r.block_size} | "
-          f"size {len(data)} | orig {orig if orig else 'n/a'} | "
-          f"entropy {entropy_type_to_name(r.entropy_type)} | "
-          f"transforms {transform_type_to_name(r.transform_type)}")
+    ctx = Context({"verbosity": args.verbose, "inputName": in_path,
+                   "fileSize": len(data)})
+    r = CompressedReader(data, ctx=ctx)
+    r.listeners.add(_INFO_PRINTER)
+    r.emit_header_event()
+    try:
+        r.read_all(from_block=1, to_block=2)   # decode block 1 (validation)
+    except Exception as e:
+        print(f"Warning: block 1 failed to decode: {e}", file=sys.stderr)
 
 
 def main(argv=None) -> int:

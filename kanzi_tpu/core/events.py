@@ -36,6 +36,7 @@ class Event:
     hash_bits: int = 0           # 0 / 32 / 64
     offset: Optional[int] = None  # bitstream offset (BLOCK_INFO)
     skip_flags: Optional[int] = None
+    header_info: Optional[dict] = None  # AFTER_HEADER_DECODING payload
 
     def __str__(self) -> str:
         s = f"[{self.type.name}] id={self.block_id} size={self.size}"

@@ -503,8 +503,14 @@ class CompressedWriter:
         self._block_queue.clear()
         prepare_ans0_batch(states)
         prepare_huffman_batch(states)
+        verbose5 = self.ctx.get_int("verbosity", 0) > 4 and self.listeners
         for st in states:
             payload, bits = _encode_block_phase2(st, self.listeners)
+            if verbose5:
+                self.listeners.notify(Event(
+                    EventType.BLOCK_INFO, st["block_id"], (bits + 7) >> 3,
+                    offset=self._obs.written(),
+                    skip_flags=st["skip_flags"]))
             self._commit(payload, bits)
 
     def _commit(self, payload: bytes, written: int) -> None:
@@ -630,9 +636,25 @@ class CompressedReader:
         if cksum1 != (cksum2 & ((1 << crc_size) - 1)):
             raise KanziError("Invalid bitstream, header checksum mismatch",
                              Error.ERR_CRC_CHECK)
-        if self.listeners:
-            self.listeners.notify(Event(EventType.AFTER_HEADER_DECODING, 0,
-                                        self.block_size))
+        self.emit_header_event()
+
+    def emit_header_event(self) -> None:
+        """Notify AFTER_HEADER_DECODING with the parsed header fields
+        (HeaderInfo payload, src/Event.hpp). Safe to call again after
+        attaching listeners (the CLI attaches post-construction)."""
+        if not self.listeners:
+            return
+        info = {"bsVersion": self.bs_version,
+                "checksum": self.checksum_bits,
+                "blockSize": self.block_size,
+                "entropy": efactory.entropy_type_to_name(self.entropy_type),
+                "transform": tfactory.transform_type_to_name(
+                    self.transform_type),
+                "originalSize": self.output_size or None,
+                "inputName": self.ctx.get_str("inputName", ""),
+                "fileSize": self.ctx.get_int("fileSize", 0) or None}
+        self.listeners.notify(Event(EventType.AFTER_HEADER_DECODING, 0,
+                                    self.block_size, header_info=info))
 
     def read_all(self, from_block: int = 1, to_block: int = MAX_BLOCK_ID) -> bytes:
         """Decode every block in order; supports --from/--to block ranges
@@ -656,6 +678,10 @@ class CompressedReader:
                 continue
             if block_id >= to_block:
                 break
+            if self.ctx.get_int("verbosity", 0) > 4 and self.listeners:
+                self.listeners.notify(Event(
+                    EventType.BLOCK_INFO, block_id, (bits + 7) >> 3,
+                    offset=self.ibs.tell() - bits))
             data = decode_block(payload, bits, block_id, self.ctx,
                                 self.transform_type, self.entropy_type,
                                 self.block_size, self.checksum_bits,
