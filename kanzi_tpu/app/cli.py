@@ -196,36 +196,47 @@ def compress_file(in_path, out_path, args, level, transform, entropy,
 
 
 def decompress_file(in_path, out_path, args, verbose=1):
+    """Streaming decode: the compressed input is read incrementally and
+    each decoded block is written out as it completes (peak memory is
+    O(block size), CompressedInputStream.cpp:336-508)."""
     t0 = time.time()
-    data = sys.stdin.buffer.read() if in_path == "-" else open(in_path, "rb").read()
+    in_size = None if in_path == "-" else os.path.getsize(in_path)
+    src = sys.stdin.buffer if in_path == "-" else open(in_path, "rb")
+    dst = sys.stdout.buffer if out_path == "-" else open(out_path, "wb")
     ctx = Context({"verbosity": args.verbose, "inputName": in_path,
-                   "fileSize": len(data)})
-    r = CompressedReader(data, jobs=args.jobs, ctx=ctx)
-    if verbose > 2:
-        from kanzi_tpu.app.info_printer import DECOMPRESSION, InfoPrinter
-        r.listeners.add(InfoPrinter(verbose, DECOMPRESSION))
-        r.emit_header_event()
-    kwargs = {}
-    if args.from_block is not None:
-        kwargs["from_block"] = args.from_block
-    if args.to_block is not None:
-        kwargs["to_block"] = args.to_block
-    out = r.read_all(**kwargs)
-    if out_path == "-":
-        sys.stdout.buffer.write(out)
-    else:
-        with open(out_path, "wb") as f:
-            f.write(out)
+                   "fileSize": in_size or 0})
+    written = 0
+    try:
+        r = CompressedReader(src, jobs=args.jobs, ctx=ctx)
+        if verbose > 2:
+            from kanzi_tpu.app.info_printer import (DECOMPRESSION,
+                                                    InfoPrinter)
+            r.listeners.add(InfoPrinter(verbose, DECOMPRESSION))
+            r.emit_header_event()
+        kwargs = {}
+        if args.from_block is not None:
+            kwargs["from_block"] = args.from_block
+        if args.to_block is not None:
+            kwargs["to_block"] = args.to_block
+        for block in r.read_blocks(**kwargs):
+            dst.write(block)
+            written += len(block)
+    finally:
+        if in_path != "-":
+            src.close()
+        if out_path != "-":
+            dst.close()
     dt = time.time() - t0
     if verbose >= 1:
-        print(f"Decompressed {in_path}:  {len(data)} => {len(out)} "
+        print(f"Decompressed {in_path}:  "
+              f"{in_size if in_size is not None else '?'} => {written} "
               f"in {1000 * dt:.0f} ms", file=sys.stderr)
     if verbose >= 2 and dt > 0:
-        print(f"Throughput (KiB/s): {len(out) / 1024 / dt:.0f}",
+        print(f"Throughput (KiB/s): {written / 1024 / dt:.0f}",
               file=sys.stderr)
     if args.rm and in_path != "-":
         os.remove(in_path)
-    return len(data), len(out)
+    return in_size, written
 
 
 _INFO_PRINTER = None
@@ -286,13 +297,23 @@ def main(argv=None) -> int:
             level, transform, entropy = _resolve_codec(args)
 
         multi = len(files) > 1
-        for f, _sz in files:
+        if multi and args.output:
+            raise KanziError("Cannot use -o with multiple input files",
+                             Error.ERR_INVALID_PARAM)
+        if multi and verbose > 1:
+            # concurrent multi-file output would interleave; the reference
+            # reduces verbosity the same way (Kanzi.cpp:211-220)
+            verbose = 1
+
+        def one(f):
             if args.compress:
                 out = args.output or (f + ".knz" if f != "-" else "-")
-                if out not in ("-",) and os.path.exists(out) and not args.force:
-                    raise KanziError(f"The output file '{out}' exists (use -f "
-                                     "to overwrite)", Error.ERR_OVERWRITE_FILE)
-                compress_file(f, out, args, level, transform, entropy, verbose)
+                if out != "-" and os.path.exists(out) and not args.force:
+                    raise KanziError(
+                        f"The output file '{out}' exists (use -f to "
+                        "overwrite)", Error.ERR_OVERWRITE_FILE)
+                compress_file(f, out, args, level, transform, entropy,
+                              verbose)
             else:
                 if args.output:
                     out = args.output
@@ -302,13 +323,24 @@ def main(argv=None) -> int:
                     out = "-"
                 else:
                     out = f + ".out"
-                if out not in ("-",) and os.path.exists(out) and not args.force:
-                    raise KanziError(f"The output file '{out}' exists (use -f "
-                                     "to overwrite)", Error.ERR_OVERWRITE_FILE)
+                if out != "-" and os.path.exists(out) and not args.force:
+                    raise KanziError(
+                        f"The output file '{out}' exists (use -f to "
+                        "overwrite)", Error.ERR_OVERWRITE_FILE)
                 decompress_file(f, out, args, verbose)
-            if multi and args.output:
-                raise KanziError("Cannot use -o with multiple input files",
-                                 Error.ERR_INVALID_PARAM)
+
+        if multi and args.jobs > 1:
+            # inter-file data parallelism: a pool of file workers (the
+            # reference's FileCompressWorker + BoundedConcurrentQueue,
+            # src/app/BlockCompressor.cpp:362-494). The native stages
+            # release the GIL, so file workers overlap on real cores.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(args.jobs, len(files))) as pool:
+                for res in pool.map(one, [f for f, _sz in files]):
+                    pass
+        else:
+            for f, _sz in files:
+                one(f)
         return 0
     except KanziError as e:
         print(str(e) + f". Error code: {int(e.code)}", file=sys.stderr)

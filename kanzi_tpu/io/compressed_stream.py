@@ -547,12 +547,19 @@ class CompressedWriter:
 class CompressedReader:
     """istream-facade equivalent of CompressedInputStream."""
 
-    def __init__(self, data: bytes, jobs: int = 1, ctx: Optional[Context] = None,
+    def __init__(self, data, jobs: int = 1, ctx: Optional[Context] = None,
                  headerless: bool = False, transform: str = "NONE",
                  entropy: str = "NONE", block_size: int = 4 * 1024 * 1024,
                  checksum_bits: int = 0, original_size: int = 0,
                  bs_version: int = FORMAT_VERSION):
-        self.ibs = BitReader(data)
+        """data: bytes-like (in-memory) or a binary file object (streamed
+        incrementally -- CompressedInputStream.cpp:336-508 reads the same
+        way; peak memory stays O(block size))."""
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            self.ibs = BitReader(data)
+        else:
+            from kanzi_tpu.bitstream.streaming import StreamingBitReader
+            self.ibs = StreamingBitReader(data)
         self.ctx = ctx.copy() if ctx is not None else Context()
         self.jobs = jobs
         self.listeners = ListenerBus()
@@ -660,6 +667,14 @@ class CompressedReader:
         """Decode every block in order; supports --from/--to block ranges
         (CompressedInputStream.cpp:836-867)."""
         out = bytearray()
+        for data in self.read_blocks(from_block, to_block):
+            out += data
+        return bytes(out)
+
+    def read_blocks(self, from_block: int = 1, to_block: int = MAX_BLOCK_ID):
+        """Yield decoded blocks in order (streaming decode: with a
+        file-object source and a consumer that writes each block out,
+        peak memory is O(block size))."""
         block_id = 0
         while True:
             block_id += 1
@@ -686,9 +701,8 @@ class CompressedReader:
                                 self.transform_type, self.entropy_type,
                                 self.block_size, self.checksum_bits,
                                 self.listeners)
-            out += data.tobytes()
             self._blocks_decoded += 1
-        return bytes(out)
+            yield data.tobytes()
 
 
 # --- convenience one-shot APIs ---
