@@ -87,6 +87,12 @@ def compute_code_lengths(freqs_by_rank, ranks_symbols, count):
     data = list(freqs_by_rank)
     if any(f == 0 for f in data):
         return None, 0
+    from kanzi_tpu.utils import native
+    if native.transforms_available():
+        lens, maxlen = native.huff_code_lengths(data, count)
+        sizes = np.zeros(256, dtype=np.int64)
+        sizes[np.asarray(ranks_symbols[:count], np.int64)] = lens
+        return sizes, maxlen
     _compute_inplace_phase1(data, count)
     maxlen = _compute_inplace_phase2(data, count)
     sizes = np.zeros(256, dtype=np.int64)

@@ -23,6 +23,10 @@ def pack_bits(codes: np.ndarray, lens: np.ndarray):
     total = int(lens.sum())
     if total == 0:
         return np.zeros(0, dtype=np.uint8), 0
+    if lens.max() <= 32:
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            return native.pack_bits_native(codes.astype(np.uint32), lens)
     ends = np.cumsum(lens)
     starts = ends - lens
     idx = np.repeat(np.arange(len(codes), dtype=np.int64), lens)

@@ -82,6 +82,11 @@ def _load(name: str):
                 lib.kz_exe_detect_scan.argtypes = [u8p, i64, i64, i64p, i64p]
                 lib.kz_lzx_inverse.restype = i64
                 lib.kz_lzx_inverse.argtypes = [u8p, i64, u8p, i64]
+                lib.kz_pack_bits.restype = i64
+                lib.kz_pack_bits.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint32), u8p, i64, u8p]
+                lib.kz_huff_code_lengths.restype = ctypes.c_int
+                lib.kz_huff_code_lengths.argtypes = [i64p, ctypes.c_int]
                 lib.kz_huff_dec_frag.restype = i64
                 lib.kz_huff_dec_frag.argtypes = [u8p, i64, u8p, u8p, u8p]
                 lib.kz_rolz1_parse.restype = ctypes.c_int
@@ -316,6 +321,28 @@ def lzp_inverse(src: np.ndarray, dst_cap: int) -> np.ndarray:
     if n < 0:
         raise ValueError("LZP: output overflow")
     return dst[:n]
+
+
+def pack_bits_native(codes: np.ndarray, lens: np.ndarray):
+    """Returns (packed uint8 array, total_bits)."""
+    lib = _load("transforms")
+    codes = np.ascontiguousarray(codes, np.uint32)
+    lens = np.ascontiguousarray(lens, np.uint8)
+    n = len(codes)
+    out = np.zeros(int(lens.sum(dtype=np.int64)) // 8 + 16, np.uint8)
+    total = lib.kz_pack_bits(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _u8ptr(lens), n, _u8ptr(out))
+    return out[:(total + 7) // 8], int(total)
+
+
+def huff_code_lengths(freqs_by_rank, count: int):
+    """Returns (lengths list, maxlen)."""
+    lib = _load("transforms")
+    data = np.ascontiguousarray(np.asarray(freqs_by_rank[:count], np.int64))
+    maxlen = lib.kz_huff_code_lengths(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), count)
+    return data, int(maxlen)
 
 
 def lzx_inverse(src: np.ndarray, dst_cap: int):

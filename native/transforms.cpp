@@ -442,6 +442,68 @@ int64_t kz_lzp_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
     return dst_idx;
 }
 
+// Variable-length bit packing: concatenate lens[i] low bits of codes[i],
+// MSB-first (kanzi_tpu/utils/bitpack.py pack_bits). out must hold
+// (sum(lens)+7)/8 + 8 bytes. Returns total bits.
+int64_t kz_pack_bits(const uint32_t* codes, const uint8_t* lens, int64_t n,
+                     uint8_t* out) {
+    uint64_t acc = 0;
+    int nb = 0;
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int ln = lens[i];
+        acc = (acc << ln) | (codes[i] & ((uint64_t(1) << ln) - 1));
+        nb += ln;
+        while (nb >= 8) {
+            nb -= 8;
+            out[w++] = uint8_t(acc >> nb);
+        }
+    }
+    if (nb > 0) out[w] = uint8_t(acc << (8 - nb));
+    return 8 * w + nb;
+}
+
+// Moffat-Katajainen in-place code lengths
+// (kanzi_tpu/entropy/huffman.py compute_code_lengths; reference
+// HuffmanEncoder.cpp:246-300). data has n entries (freqs ascending by
+// (freq, sym)); overwritten with code lengths. Returns maxlen.
+int kz_huff_code_lengths(int64_t* data, int n) {
+    // phase 1
+    int s = 0, r = 0;
+    for (int t = 0; t < n - 1; t++) {
+        int64_t total = 0;
+        for (int k = 0; k < 2; k++) {
+            if (s >= n || (r < t && data[r] < data[s])) {
+                total += data[r];
+                data[r] = t;
+                r++;
+                continue;
+            }
+            total += data[s];
+            if (s > t) data[s] = 0;
+            s++;
+        }
+        data[t] = total;
+    }
+    // phase 2
+    if (n < 2) return 0;
+    int top_level = n - 2;
+    int depth = 1;
+    int nodes_at_level = 2;
+    int m = n;
+    while (m > 0) {
+        int k = top_level;
+        while (k != 0 && data[k - 1] >= top_level) k--;
+        const int internal = top_level - k;
+        const int leaves = nodes_at_level - internal;
+        for (int i = 0; i < leaves; i++) data[--m] = depth;
+        nodes_at_level = internal << 1;
+        top_level = k;
+        depth++;
+    }
+    return depth - 1;
+}
+
 // LZX inverse (kanzi_tpu/transform/lz.py LZXCodec.inverse; reference
 // src/transform/LZCodec.cpp inverseV6 :469-565). Returns output length,
 // -2 on malformed stream, -3 on output overflow (caller grows + retries).
