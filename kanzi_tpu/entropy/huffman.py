@@ -321,9 +321,15 @@ class HuffmanEncoder(EntropyEncoder):
             else:
                 flush_native()
                 chunk = chunks[ci]
-                freqs = np.bincount(chunk, minlength=256).astype(np.int64)
-                if self._update_frequencies(freqs) > 1:
-                    self._encode_chunk(chunk)
+                res = (native.huff_enc_chunk(chunk)
+                       if native.transforms_available() else None)
+                if res is not None:
+                    self.obs._append_bit_run(res[0], res[1])
+                else:
+                    freqs = np.bincount(chunk,
+                                        minlength=256).astype(np.int64)
+                    if self._update_frequencies(freqs) > 1:
+                        self._encode_chunk(chunk)
         flush_native()
         return full * MAX_CHUNK_SIZE
 
@@ -336,15 +342,22 @@ class HuffmanEncoder(EntropyEncoder):
         if (self.chunk_size == MAX_CHUNK_SIZE and count >= MAX_CHUNK_SIZE
                 and _device_huffman_enabled()):
             start = self._encode_device(block, count)
+        from kanzi_tpu.utils import native
+        use_native = native.transforms_available()
         while start < count:
             size_chunk = min(self.chunk_size, count - start)
             chunk = block[start:start + size_chunk]
             if size_chunk < 32:
                 self.obs.write_bytes(chunk.tobytes())
             else:
-                freqs = np.bincount(chunk, minlength=256).astype(np.int64)
-                if self._update_frequencies(freqs) > 1:
-                    self._encode_chunk(chunk)
+                res = native.huff_enc_chunk(chunk) if use_native else None
+                if res is not None:
+                    self.obs._append_bit_run(res[0], res[1])
+                else:  # no native lib, or the rare bit-debt limit path
+                    freqs = np.bincount(chunk,
+                                        minlength=256).astype(np.int64)
+                    if self._update_frequencies(freqs) > 1:
+                        self._encode_chunk(chunk)
             start += size_chunk
         return count
 
@@ -409,6 +422,8 @@ class HuffmanDecoder(EntropyDecoder):
         device_ok = (self.chunk_size == MAX_CHUNK_SIZE
                      and count >= MAX_CHUNK_SIZE
                      and _device_huffman_enabled())
+        from kanzi_tpu.utils import native
+        use_native = native.transforms_available()
         queued = []  # (start, sizes, codes, frag_pay [4, row] u8)
         start = 0
         while start < count:
@@ -416,6 +431,14 @@ class HuffmanDecoder(EntropyDecoder):
             if size_chunk < 32:
                 out[start:start + size_chunk] = np.frombuffer(
                     self.ibs.read_bytes(size_chunk), dtype=np.uint8)
+            elif (use_native
+                  and not (device_ok and size_chunk == MAX_CHUNK_SIZE)):
+                rc = native.huff_dec_chunk(
+                    self.ibs._data, self.ibs._nbits, self.ibs._pos,
+                    size_chunk, out, start)
+                if rc == -5:
+                    return out[:start]
+                self.ibs.seek(rc)
             else:
                 alphabet, sizes, codes = self._read_lengths()
                 if len(alphabet) == 0:

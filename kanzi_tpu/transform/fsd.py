@@ -87,22 +87,29 @@ class FSDCodec(ByteTransform):
         dst_end = self.max_encoded_length(count)
         header = bytes([mode, dist]) + src[:dist].tobytes()
         if mode == DELTA_CODING:
-            d_all = 127 + s64[dist:] - s64[:-dist]
-            ok = (d_all >= 0) & (d_all < 255)
-            n_items = len(d_all)
-            lens = np.where(ok, 1, 2)
-            total = int(lens.sum())
-            # capacity guard (dstIdx < dstEnd - 1 per iteration)
-            if len(header) + total > dst_end:
-                # reference would stop mid-way and fail srcIdx != srcEnd
-                return None
-            out = np.empty(total, dtype=np.uint8)
-            offs = np.cumsum(lens) - lens
-            out[offs[ok]] = ZIGZAG1[d_all[ok]]
-            esc = ~ok
-            out[offs[esc]] = ESCAPE_TOKEN
-            out[offs[esc] + 1] = (src[dist:][esc] ^ src[:-dist][esc])
-            payload = out.tobytes()
+            from kanzi_tpu.utils import native
+            if native.transforms_available():
+                out = native.fsd_forward_delta(src, dist,
+                                               dst_end - len(header))
+                if out is None:
+                    # reference would stop mid-way, fail srcIdx != srcEnd
+                    return None
+                payload = out.tobytes()
+            else:
+                d_all = 127 + s64[dist:] - s64[:-dist]
+                ok = (d_all >= 0) & (d_all < 255)
+                lens = np.where(ok, 1, 2)
+                total = int(lens.sum())
+                # capacity guard (dstIdx < dstEnd - 1 per iteration)
+                if len(header) + total > dst_end:
+                    return None
+                out = np.empty(total, dtype=np.uint8)
+                offs = np.cumsum(lens) - lens
+                out[offs[ok]] = ZIGZAG1[d_all[ok]]
+                esc = ~ok
+                out[offs[esc]] = ESCAPE_TOKEN
+                out[offs[esc] + 1] = (src[dist:][esc] ^ src[:-dist][esc])
+                payload = out.tobytes()
         else:
             payload = (src[dist:] ^ src[:-dist]).tobytes()
         dst = header + payload
@@ -129,6 +136,10 @@ class FSDCodec(ByteTransform):
             raise ValueError("FSD: invalid distance")
         if count < dist + 2:
             raise ValueError("FSD: block too short for distance")
+        if mode == DELTA_CODING:
+            from kanzi_tpu.utils import native
+            if native.transforms_available():
+                return native.fsd_inverse_delta(src, dist)
         out = bytearray(src[2:2 + dist].tobytes())
         data = src.tolist()
         if mode == DELTA_CODING:

@@ -82,10 +82,15 @@ def compute_stats(block: np.ndarray, strict: bool):
     count = len(block)
     if not strict and magiclib.get_type(block[:4].tobytes()) != magiclib.NO_MAGIC:
         return MASK_NOT_TEXT
-    freqs0 = np.bincount(block, minlength=256).astype(np.int64)
-    prev = np.concatenate([[0], block[:-1]]).astype(np.int64)
-    freqs1 = np.bincount(prev * 256 + block, minlength=65536).astype(np.int64) \
-        .reshape(256, 256)
+    from kanzi_tpu.utils import native
+    if native.transforms_available():
+        freqs0, freqs1 = native.hist_o01(block)
+    else:
+        freqs0 = np.bincount(block, minlength=256).astype(np.int64)
+        prev = np.concatenate([[0], block[:-1]]).astype(np.int64)
+        freqs1 = np.bincount(prev * 256 + block,
+                             minlength=65536).astype(np.int64) \
+            .reshape(256, 256)
 
     is_text_mask = CHAR_TYPE[:128] == 0
     nb_text = int(freqs0[CR] + freqs0[LF] + freqs0[:128][is_text_mask].sum())

@@ -87,6 +87,18 @@ def _load(name: str):
                     ctypes.POINTER(ctypes.c_uint32), u8p, i64, u8p]
                 lib.kz_huff_code_lengths.restype = ctypes.c_int
                 lib.kz_huff_code_lengths.argtypes = [i64p, ctypes.c_int]
+                lib.kz_fsd_inverse_delta.restype = i64
+                lib.kz_fsd_inverse_delta.argtypes = [u8p, i64,
+                                                     ctypes.c_int, u8p]
+                lib.kz_hist_o01.restype = None
+                lib.kz_hist_o01.argtypes = [u8p, i64, i64p, i64p]
+                lib.kz_fsd_forward_delta.restype = i64
+                lib.kz_fsd_forward_delta.argtypes = [u8p, i64,
+                                                     ctypes.c_int, i64, u8p]
+                lib.kz_huff_enc_chunk.restype = i64
+                lib.kz_huff_enc_chunk.argtypes = [u8p, i64, u8p]
+                lib.kz_huff_dec_chunk.restype = i64
+                lib.kz_huff_dec_chunk.argtypes = [u8p, i64, i64, i64, u8p]
                 lib.kz_huff_dec_frag.restype = i64
                 lib.kz_huff_dec_frag.argtypes = [u8p, i64, u8p, u8p, u8p]
                 lib.kz_rolz1_parse.restype = ctypes.c_int
@@ -320,6 +332,81 @@ def lzp_inverse(src: np.ndarray, dst_cap: int) -> np.ndarray:
         raise ValueError("LZP: truncated stream")
     if n < 0:
         raise ValueError("LZP: output overflow")
+    return dst[:n]
+
+
+def huff_enc_chunk(chunk: np.ndarray):
+    """Encode one Huffman chunk (header + fragments). Returns
+    (bitrun bytes, nbits), or None when the chunk needs the Python
+    bit-debt path. Raises ValueError on invalid code lengths."""
+    lib = _load("transforms")
+    chunk = np.ascontiguousarray(chunk, np.uint8)
+    out = np.empty(2 * len(chunk) + 1300, np.uint8)
+    nbits = lib.kz_huff_enc_chunk(_u8ptr(chunk), len(chunk), _u8ptr(out))
+    if nbits == -1:
+        return None
+    if nbits < 0:
+        raise ValueError(
+            "Could not generate Huffman codes: invalid code length 0")
+    return out[:(nbits + 7) >> 3].tobytes(), int(nbits)
+
+
+def huff_dec_chunk(buf: bytes, nbits: int, bitpos: int, sz_chunk: int,
+                   out: np.ndarray, start: int) -> int:
+    """Decode one Huffman chunk from the bitstream buffer into
+    out[start:start+sz_chunk]. Returns the new bit position; -5 means
+    empty alphabet (end marker). Raises on malformed streams."""
+    from kanzi_tpu.bitstream.reader import BitStreamError
+    lib = _load("transforms")
+    dst = out[start:start + sz_chunk]
+    rc = lib.kz_huff_dec_chunk(
+        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        nbits, bitpos, sz_chunk, _u8ptr(dst))
+    if rc == -5:
+        return -5
+    if rc == -2:
+        raise BitStreamError("read past end of bitstream")
+    if rc == -3:
+        raise ValueError("Invalid variable-length integer in bitstream")
+    if rc == -4:
+        raise ValueError("Invalid bitstream: incorrect size for Huffman "
+                         "symbol")
+    if rc < 0:
+        raise ValueError("Could not generate Huffman codes: max code "
+                         "length exceeded")
+    return int(rc)
+
+
+def hist_o01(src: np.ndarray):
+    """Returns (freqs0[256], freqs1[256,256]) int64, prev seeded 0."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    h0 = np.empty(256, np.int64)
+    h1 = np.empty(65536, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kz_hist_o01(_u8ptr(src), len(src),
+                    h0.ctypes.data_as(i64p), h1.ctypes.data_as(i64p))
+    return h0, h1.reshape(256, 256)
+
+
+def fsd_forward_delta(src: np.ndarray, dist: int, max_out: int):
+    """Returns the zigzag/escape payload bytes, or None when it would
+    exceed max_out (caller skips the transform)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(min(max_out, 2 * len(src)) + 2, np.uint8)
+    n = lib.kz_fsd_forward_delta(_u8ptr(src), len(src), dist, max_out,
+                                 _u8ptr(dst))
+    return None if n < 0 else dst[:n]
+
+
+def fsd_inverse_delta(src: np.ndarray, dist: int) -> np.ndarray:
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(len(src), np.uint8)
+    n = lib.kz_fsd_inverse_delta(_u8ptr(src), len(src), dist, _u8ptr(dst))
+    if n < 0:
+        raise ValueError("FSD: truncated escape")
     return dst[:n]
 
 

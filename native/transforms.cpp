@@ -626,6 +626,33 @@ int64_t kz_lzx_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
 // (kanzi_tpu/entropy/huffman.py _decode_chunk; reference
 // src/entropy/HuffmanDecoder.cpp:204-278). buf must have
 // (nbits+7)/8 + 8 readable bytes. Returns bits consumed.
+// FSD delta-mode inverse (kanzi_tpu/transform/fsd.py:134-146; reference
+// src/transform/FSDCodec.cpp inverse). src = full transform output
+// (mode, dist, seed bytes, zigzag/escape stream). Returns output length,
+// or -1 on a truncated escape.
+int64_t kz_fsd_inverse_delta(const uint8_t* src, int64_t count, int dist,
+                             uint8_t* out) {
+    int64_t o = 0;
+    for (int d = 0; d < dist; d++) out[o++] = src[2 + d];
+    int64_t i = dist + 2;
+    while (i < count) {
+        const uint8_t v = src[i];
+        if (v != 255) {
+            const int delta = (v & 1) ? -((v + 1) >> 1) : (v >> 1);
+            out[o] = (uint8_t)(out[o - dist] + delta);
+            o++;
+            i++;
+        } else {
+            i++;
+            if (i == count) return -1;
+            out[o] = (uint8_t)(src[i] ^ out[o - dist]);
+            o++;
+            i++;
+        }
+    }
+    return o;
+}
+
 int64_t kz_huff_dec_frag(const uint8_t* buf, int64_t sz_frag,
                          const uint8_t* tbl_sym, const uint8_t* tbl_len,
                          uint8_t* out) {
@@ -965,6 +992,526 @@ int64_t kz_rolz1_rebuild(const uint8_t* lit, int64_t lit_total,
         || lens_idx != mlen_len)
         return -3;
     return dst_idx;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Full Huffman chunk codec (host path). Exact C++ port of the repo's
+// Python golden model (kanzi_tpu/entropy/huffman.py, byte-identical with
+// reference src/entropy/Huffman{Encoder,Decoder}.cpp): alphabet header
+// (EntropyUtils::encodeAlphabet), signed exp-Golomb code-length deltas,
+// canonical codes, 4-fragment payload with varint bit counts.
+// ---------------------------------------------------------------------
+
+#include <algorithm>
+
+namespace {
+
+struct HBitW {                    // MSB-first accumulator writer
+    uint8_t* out;
+    int64_t nbytes = 0;
+    uint64_t acc = 0;
+    int nacc = 0;
+    inline void put(uint64_t v, int n) {   // n <= 32
+        acc = (acc << n) | (v & ((1ull << n) - 1));
+        nacc += n;
+        while (nacc >= 8) {
+            nacc -= 8;
+            out[nbytes++] = uint8_t(acc >> nacc);
+        }
+    }
+    int64_t finish() {
+        const int64_t bits = 8 * nbytes + nacc;
+        if (nacc) out[nbytes] = uint8_t(acc << (8 - nacc));
+        return bits;
+    }
+};
+
+struct HBitR {                    // MSB-first bounded reader
+    const uint8_t* d;
+    int64_t nbits;
+    int64_t pos;
+    bool err = false;
+    inline int bit() {
+        if (pos >= nbits) { err = true; return 0; }
+        const int b = (d[pos >> 3] >> (7 - (pos & 7))) & 1;
+        pos++;
+        return b;
+    }
+    inline uint64_t bits(int n) {
+        if (n == 0) return 0;
+        if (pos + n > nbits) { err = true; return 0; }
+        uint64_t v = 0;
+        int64_t p = pos;
+        pos += n;
+        while (n > 0) {
+            const int off = int(p & 7);
+            const int take = (8 - off) < n ? (8 - off) : n;
+            const uint8_t byte = d[p >> 3];
+            v = (v << take)
+              | ((byte >> (8 - off - take)) & ((1u << take) - 1));
+            p += take;
+            n -= take;
+        }
+        return v;
+    }
+};
+
+inline int hbitlen(uint32_t v) {
+    int n = 0;
+    while (v) { n++; v >>= 1; }
+    return n;
+}
+
+// signed exp-Golomb byte code (kanzi_tpu/entropy/exp_golomb.py)
+inline void eg_put(HBitW& w, int val) {
+    val &= 0xFF;
+    if (val == 0) { w.put(1, 1); return; }
+    const int v = val < 128 ? val : 256 - val;
+    const int log2 = hbitlen(uint32_t(v + 1)) - 1;
+    const int sgn = val >= 128 ? 1 : 0;
+    w.put((uint64_t(v + 1) << 1) | sgn, 2 * log2 + 2);
+}
+
+inline int eg_get(HBitR& r) {
+    if (r.bit() == 1) return 0;
+    int log2 = 1;
+    while (!r.err && r.bit() == 0) log2++;
+    log2 &= 7;
+    int res = int(r.bits(log2 + 1));
+    const int sgn = res & 1;
+    res = (res >> 1) + (1 << log2) - 1;
+    return ((res - sgn) ^ -sgn) & 0xFF;
+}
+
+inline void varint_put(HBitW& w, uint32_t v) {
+    while (v >= 128) {
+        w.put(0x80 | (v & 0x7F), 8);
+        v >>= 7;
+    }
+    w.put(v, 8);
+}
+
+inline int64_t varint_get(HBitR& r) {    // -1 on malformed
+    uint32_t value = uint32_t(r.bits(8));
+    int64_t res = value & 0x7F;
+    int shift = 7;
+    while (value >= 128) {
+        value = uint32_t(r.bits(8));
+        if (r.err) return -1;
+        if (shift == 28) {
+            if (value >= 128 || (value & 0x70) != 0) return -1;
+            res |= int64_t(value & 0x0F) << shift;
+            return res;
+        }
+        res |= int64_t(value & 0x7F) << shift;
+        shift += 7;
+    }
+    return res;
+}
+
+constexpr int HUFF_MAX_SYMBOL_SIZE = 12;
+
+// EntropyUtils::normalizeFrequencies (kanzi_tpu/entropy/utils.py:52-130):
+// scale freqs[0..length) in place so they sum to `scale`, with the exact
+// error-spreading schedule (bit-identical outputs).
+inline void normalize_freqs(int64_t* freqs, int length, int64_t total_freq,
+                            int64_t scale) {
+    if (length == 0 || total_freq == 0 || total_freq == scale) return;
+    int alphabet[256];
+    int size = 0;
+    int64_t sum_scaled = 0, sum_freq = 0;
+    int idx_max = 0;
+    for (int i = 0; i < length; i++) {
+        const int64_t f = freqs[i];
+        freqs[i] = 0;
+        if (f == 0) continue;
+        alphabet[size++] = i;
+        const int64_t sf = f * scale;
+        const int64_t scaled =
+            (sf <= total_freq) ? 1 : (sf + (total_freq >> 1)) / total_freq;
+        sum_scaled += scaled;
+        freqs[i] = scaled;
+        sum_freq += f;
+        if (scaled > freqs[idx_max]) idx_max = i;
+        if (sum_freq >= total_freq) break;
+    }
+    if (size == 0) return;
+    if (size == 1) { freqs[alphabet[0]] = scale; return; }
+    if (sum_scaled == scale) return;
+
+    int64_t delta = sum_scaled - scale;
+    const int64_t err_thr = freqs[idx_max] >> 4;
+    if (delta < 0 ? -delta <= err_thr : delta <= err_thr) {
+        freqs[idx_max] -= delta;
+        return;
+    }
+    if (delta < 0) {
+        delta += err_thr;
+        freqs[idx_max] += err_thr;
+    } else {
+        delta -= err_thr;
+        freqs[idx_max] -= err_thr;
+    }
+    const int inc = delta < 0 ? 1 : -1;
+    delta = delta < 0 ? -delta : delta;
+    int rnd = 0;
+    while (rnd < 5 && delta > 0) {
+        rnd++;
+        int adjustments = 0;
+        for (int i = 0; i < size; i++) {
+            const int idx = alphabet[i];
+            if (freqs[idx] <= 2) continue;
+            freqs[idx] += inc;
+            adjustments++;
+            delta--;
+            if (delta == 0) break;
+        }
+        if (adjustments == 0) break;
+    }
+    freqs[idx_max] = std::max(freqs[idx_max] - delta, int64_t(1));
+}
+
+// canonical codes (huffman.py:generate_canonical_codes). Returns 0 ok,
+// -1 on over-long code.
+inline int canonical_codes(const int* sizes, const int* syms, int count,
+                           int* codes) {
+    for (int i = 0; i < 256; i++) codes[i] = 0;
+    if (count == 0) return 0;
+    int order[256];
+    if (count > 1) {
+        uint32_t key[256];
+        for (int i = 0; i < count; i++) {
+            const int s = syms[i];
+            if (sizes[s] > HUFF_MAX_SYMBOL_SIZE) return -1;
+            key[i] = (uint32_t(sizes[s] - 1) << 8) | uint32_t(s);
+        }
+        std::sort(key, key + count);
+        for (int i = 0; i < count; i++) order[i] = int(key[i] & 0xFF);
+    } else {
+        order[0] = syms[0];
+    }
+    int cur_len = sizes[order[0]];
+    int code = 0;
+    for (int i = 0; i < count; i++) {
+        const int s = order[i];
+        code <<= (sizes[s] - cur_len);
+        cur_len = sizes[s];
+        codes[s] = code;
+        code++;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one Huffman chunk (header + fragments) into `out` as an
+// MSB-first bit run. Returns total bits, -1 if the chunk needs the
+// bit-debt limit path (caller falls back), -2 on invalid code lengths.
+// `out` must hold >= 2*count + 1300 bytes.
+int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
+                          uint8_t* out) {
+    int64_t freq[256] = {0};
+    for (int64_t i = 0; i < count; i++) freq[chunk[i]]++;
+    int alpha[256];
+    int acount = 0;
+    for (int s = 0; s < 256; s++)
+        if (freq[s]) alpha[acount++] = s;
+
+    HBitW w{out};
+    // encodeAlphabet (entropy/utils.py:23-39)
+    if (acount == 0) {
+        w.put(0, 1); w.put(1, 1);
+    } else if (acount == 256) {
+        w.put(0, 1); w.put(0, 1);
+    } else {
+        w.put(1, 1);
+        uint8_t masks[32] = {0};
+        for (int i = 0; i < acount; i++)
+            masks[alpha[i] >> 3] |= uint8_t(1 << (alpha[i] & 7));
+        const int last_mask = alpha[acount - 1] >> 3;
+        w.put(uint64_t(last_mask), 5);
+        for (int i = 0; i <= last_mask; i++) w.put(masks[i], 8);
+    }
+    if (acount == 0) return w.finish();
+
+    int sizes[256] = {0};
+    int codes[256] = {0};
+    if (acount == 1) {
+        sizes[alpha[0]] = 1;
+    } else {
+        // ranks sorted by (freq<<8 | sym) ascending
+        uint64_t rk[256];
+        for (int i = 0; i < acount; i++)
+            rk[i] = (uint64_t(freq[alpha[i]]) << 8) | uint64_t(alpha[i]);
+        std::sort(rk, rk + acount);
+        int64_t data[256];
+        int rs[256];
+        for (int i = 0; i < acount; i++) {
+            data[i] = int64_t(rk[i] >> 8);
+            rs[i] = int(rk[i] & 0xFF);
+        }
+        int maxlen = kz_huff_code_lengths(data, acount);
+        if (maxlen == 0) return -2;
+        for (int i = 0; i < acount; i++) sizes[rs[i]] = int(data[i]);
+        if (maxlen > HUFF_MAX_SYMBOL_SIZE) {
+            // bit-debt repayment (huffman.py:_limit_code_lengths,
+            // reference HuffmanEncoder.cpp:129-215)
+            int ni = 0;
+            int64_t debt = 0;
+            while (ni < acount && sizes[rs[ni]] >= HUFF_MAX_SYMBOL_SIZE) {
+                debt += sizes[rs[ni]] - HUFF_MAX_SYMBOL_SIZE;
+                sizes[rs[ni]] = HUFF_MAX_SYMBOL_SIZE;
+                ni++;
+            }
+            maxlen = HUFF_MAX_SYMBOL_SIZE;
+            if (debt > 0) {
+                std::vector<int> v[6];
+                int vh[6] = {0, 0, 0, 0, 0, 0};
+                while (ni < acount) {
+                    const int idx =
+                        HUFF_MAX_SYMBOL_SIZE - 1 - sizes[rs[ni]];
+                    if (idx > 5 || debt < (int64_t(1) << idx)) break;
+                    v[idx].push_back(ni);
+                    ni++;
+                }
+                int idx = 5;
+                while (debt > 0 && idx >= 0) {
+                    if (vh[idx] >= int(v[idx].size())
+                        || debt < (int64_t(1) << idx)) {
+                        idx--;
+                        continue;
+                    }
+                    sizes[rs[v[idx][vh[idx]]]]++;
+                    debt -= int64_t(1) << idx;
+                    vh[idx]++;
+                }
+                idx = 0;
+                while (debt > 0 && idx < 6) {
+                    if (vh[idx] >= int(v[idx].size())) {
+                        idx++;
+                        continue;
+                    }
+                    sizes[rs[v[idx][vh[idx]]]]++;
+                    debt -= int64_t(1) << idx;
+                    vh[idx]++;
+                }
+                if (debt > 0) {
+                    // slow path: renormalize to scale 2048 and rebuild
+                    int64_t f[256];
+                    int64_t total = 0;
+                    for (int i = 0; i < acount; i++) {
+                        f[i] = freq[alpha[i]];
+                        total += f[i];
+                    }
+                    normalize_freqs(f, acount, total, 2048);
+                    uint64_t rk2[256];
+                    for (int i = 0; i < acount; i++)
+                        rk2[i] = (uint64_t(f[i]) << 8)
+                               | uint64_t(alpha[i]);
+                    std::sort(rk2, rk2 + acount);
+                    int64_t data2[256];
+                    for (int i = 0; i < acount; i++) {
+                        data2[i] = int64_t(rk2[i] >> 8);
+                        rs[i] = int(rk2[i] & 0xFF);
+                        if (data2[i] == 0) return -2;
+                    }
+                    maxlen = kz_huff_code_lengths(data2, acount);
+                    if (maxlen == 0) return -2;
+                    for (int i = 0; i < 256; i++) sizes[i] = 0;
+                    for (int i = 0; i < acount; i++)
+                        sizes[rs[i]] = int(data2[i]);
+                }
+            }
+        }
+        if (maxlen > HUFF_MAX_SYMBOL_SIZE) {
+            // fixed 8-bit fallback codes (huffman.py:221-224)
+            for (int i = 0; i < acount; i++) {
+                codes[alpha[i]] = i;
+                sizes[alpha[i]] = 8;
+            }
+        } else if (canonical_codes(sizes, alpha, acount, codes) != 0) {
+            return -2;
+        }
+    }
+    // code lengths as signed exp-Golomb deltas, prev starts at 2
+    int prev = 2;
+    for (int i = 0; i < acount; i++) {
+        const int s = alpha[i];
+        eg_put(w, (sizes[s] - prev) & 0xFF);
+        prev = sizes[s];
+    }
+    if (acount <= 1) return w.finish();
+
+    // 4 fragments: varint bit counts first, then the packed streams
+    const int64_t sz_frag = count / 4;
+    for (int j = 0; j < 4; j++) {
+        const uint8_t* src = chunk + j * sz_frag;
+        uint64_t nb = 0;
+        for (int64_t i = 0; i < sz_frag; i++) nb += uint64_t(sizes[src[i]]);
+        varint_put(w, uint32_t(nb));
+    }
+    for (int j = 0; j < 4; j++) {
+        const uint8_t* src = chunk + j * sz_frag;
+        for (int64_t i = 0; i < sz_frag; i++) {
+            const int s = src[i];
+            w.put(uint64_t(codes[s]), sizes[s]);
+        }
+    }
+    for (int64_t i = 4 * sz_frag; i < count; i++) w.put(chunk[i], 8);
+    return w.finish();
+}
+
+// Decode one Huffman chunk from the bitstream buffer `buf` (nbits total)
+// starting at bit `pos`; writes sz_chunk bytes to `out`. Returns the new
+// bit position, or a negative error: -2 read past end, -3 bad varint,
+// -4 invalid code size, -5 empty alphabet (end marker), -6 bad codes.
+int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
+                          int64_t sz_chunk, uint8_t* out) {
+    HBitR r{buf, nbits, pos};
+    // decodeAlphabet (entropy/utils.py:42-49)
+    int alpha[256];
+    int acount = 0;
+    if (r.bit() == 0) {                      // FULL_ALPHABET
+        if (r.bit() == 0) {                  // ALPHABET_256
+            acount = 256;
+            for (int i = 0; i < 256; i++) alpha[i] = i;
+        }
+    } else {
+        const int last_mask = int(r.bits(5));
+        for (int i = 0; i <= last_mask; i++) {
+            const uint8_t m = uint8_t(r.bits(8));
+            for (int j = 0; j < 8; j++)
+                if (m & (1 << j)) alpha[acount++] = 8 * i + j;
+        }
+    }
+    if (r.err) return -2;
+    if (acount == 0) return -5;
+
+    int sizes[256] = {0};
+    int cur = 2;
+    for (int i = 0; i < acount; i++) {
+        const int delta = eg_get(r);
+        if (r.err) return -2;
+        cur += (delta < 128) ? delta : delta - 256;
+        if (cur <= 0 || cur > HUFF_MAX_SYMBOL_SIZE) return -4;
+        sizes[alpha[i]] = cur;
+    }
+    if (acount == 1) {
+        for (int64_t i = 0; i < sz_chunk; i++) out[i] = uint8_t(alpha[0]);
+        return r.pos;
+    }
+    int codes[256];
+    if (canonical_codes(sizes, alpha, acount, codes) != 0) return -6;
+
+    // flat 12-bit table (indices clamped like the numpy slice fill)
+    static thread_local std::vector<uint8_t> tbl_sym_v(4096);
+    static thread_local std::vector<uint8_t> tbl_len_v(4096);
+    uint8_t* tbl_sym = tbl_sym_v.data();
+    uint8_t* tbl_len = tbl_len_v.data();
+    memset(tbl_sym, 0, 4096);
+    memset(tbl_len, 7, 4096);
+    for (int i = 0; i < acount; i++) {
+        const int s = alpha[i];
+        const int ln = sizes[s];
+        const int64_t wdt = int64_t(1) << (12 - ln);
+        int64_t idx = int64_t(codes[s]) * wdt;
+        int64_t end = idx + wdt;
+        if (idx < 0) idx = 0;
+        if (end > 4096) end = 4096;
+        for (int64_t k = idx; k < end; k++) {
+            tbl_sym[k] = uint8_t(s);
+            tbl_len[k] = uint8_t(ln);
+        }
+    }
+
+    const int64_t sz_frag = sz_chunk / 4;
+    int64_t frag_bits[4];
+    for (int j = 0; j < 4; j++) {
+        frag_bits[j] = varint_get(r);
+        if (r.err) return -2;
+        if (frag_bits[j] < 0) return -3;
+    }
+    static thread_local std::vector<uint8_t> fragbuf;
+    for (int j = 0; j < 4; j++) {
+        const int64_t nb = frag_bits[j];
+        if (r.pos + nb > nbits) return -2;
+        const int64_t nbytes = (nb + 7) >> 3;
+        // byte-aligned copy of the fragment bits (+8 pad for the 24-bit
+        // window reads of the walk)
+        if (int64_t(fragbuf.size()) < size_t(nbytes + 8))
+            fragbuf.resize(size_t(nbytes + 8));
+        const int off = int(r.pos & 7);
+        const int64_t b0 = r.pos >> 3;
+        const int64_t total_bytes = (nbits + 7) >> 3;
+        if (off == 0) {
+            for (int64_t i = 0; i < nbytes; i++)
+                fragbuf[size_t(i)] = (b0 + i) < total_bytes ? buf[b0 + i]
+                                                            : 0;
+        } else {
+            for (int64_t i = 0; i < nbytes; i++) {
+                const uint8_t hi = uint8_t(buf[b0 + i] << off);
+                const uint8_t lo = (b0 + i + 1) < total_bytes
+                    ? uint8_t(buf[b0 + i + 1] >> (8 - off)) : 0;
+                fragbuf[size_t(i)] = hi | lo;
+            }
+        }
+        memset(fragbuf.data() + nbytes, 0, 8);
+        kz_huff_dec_frag(fragbuf.data(), sz_frag, tbl_sym, tbl_len,
+                         out + j * sz_frag);
+        r.pos += nb;
+    }
+    for (int64_t i = 4 * sz_frag; i < sz_chunk; i++) {
+        out[i] = uint8_t(r.bits(8));
+        if (r.err) return -2;
+    }
+    return r.pos;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// FSD delta-mode forward payload emit (kanzi_tpu/transform/fsd.py:89-105;
+// reference src/transform/FSDCodec.cpp forward). Emits the zigzag/escape
+// stream for src[dist:] vs src[:-dist]. Returns payload length or -1
+// when it would exceed max_out (transform skipped by the caller).
+int64_t kz_fsd_forward_delta(const uint8_t* src, int64_t count, int dist,
+                             int64_t max_out, uint8_t* out) {
+    int64_t o = 0;
+    for (int64_t i = dist; i < count; i++) {
+        const int d = int(src[i]) - int(src[i - dist]);
+        if (d >= -127 && d <= 127) {
+            if (o >= max_out) return -1;
+            out[o++] = uint8_t(d < 0 ? (-d * 2 - 1) : (d * 2));
+        } else {
+            if (o + 2 > max_out) return -1;
+            out[o++] = 255;
+            out[o++] = uint8_t(src[i] ^ src[i - dist]);
+        }
+    }
+    return o;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Order-0 + order-1 histograms in one pass (TextCodec::computeStats
+// uses freqs0[256] and freqs1[256][256] with prev=0 seeded at start).
+void kz_hist_o01(const uint8_t* src, int64_t n, int64_t* h0, int64_t* h1) {
+    memset(h0, 0, 256 * sizeof(int64_t));
+    memset(h1, 0, 65536 * sizeof(int64_t));
+    int prev = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int c = src[i];
+        h0[c]++;
+        h1[(prev << 8) | c]++;
+        prev = c;
+    }
 }
 
 }  // extern "C"
