@@ -27,6 +27,12 @@ class ZRLT(ByteTransform):
         n = len(src)
         if n == 0:
             return src.copy()
+        capacity = self.capacity_for(n)
+        if capacity < n:  # initial getMaxEncodedLength check
+            return None
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            return native.zrlt_forward(src, capacity)
         # tokenize: zero runs and literals
         is_zero = src == 0
         # run starts / lengths
@@ -43,9 +49,6 @@ class ZRLT(ByteTransform):
         rl1 = run_lens.astype(np.int64) + 1
         run_out = np.floor(np.log2(rl1)).astype(np.int64)  # bits below MSB
         lit_out = np.where(lit_vals >= 0xFE, 2, 1)
-        capacity = self.capacity_for(n)
-        if capacity < n:  # initial getMaxEncodedLength check
-            return None
         total = int(run_out.sum() + lit_out.sum())
         if total > capacity:  # would not fit: transform "fails" => skipped
             return None
@@ -85,6 +88,9 @@ class ZRLT(ByteTransform):
         n = len(src)
         if n == 0:
             return src.copy()
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            return native.zrlt_inverse(src)
         out = bytearray()
         i = 0
         data = src.tolist()

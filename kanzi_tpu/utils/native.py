@@ -90,6 +90,10 @@ def _load(name: str):
                 lib.kz_fsd_inverse_delta.restype = i64
                 lib.kz_fsd_inverse_delta.argtypes = [u8p, i64,
                                                      ctypes.c_int, u8p]
+                lib.kz_zrlt_forward.restype = i64
+                lib.kz_zrlt_forward.argtypes = [u8p, i64, u8p, i64]
+                lib.kz_zrlt_inverse.restype = i64
+                lib.kz_zrlt_inverse.argtypes = [u8p, i64, u8p, i64]
                 lib.kz_hist_o01.restype = None
                 lib.kz_hist_o01.argtypes = [u8p, i64, i64p, i64p]
                 lib.kz_fsd_forward_delta.restype = i64
@@ -375,6 +379,30 @@ def huff_dec_chunk(buf: bytes, nbits: int, bitpos: int, sz_chunk: int,
         raise ValueError("Could not generate Huffman codes: max code "
                          "length exceeded")
     return int(rc)
+
+
+def zrlt_forward(src: np.ndarray, cap: int):
+    """Returns output array or None (output would not fit in cap)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(cap, np.uint8)
+    n = lib.kz_zrlt_forward(_u8ptr(src), len(src), _u8ptr(dst), cap)
+    return None if n < 0 else dst[:n]
+
+
+def zrlt_inverse(src: np.ndarray) -> np.ndarray:
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    cap = 8 * len(src) + 1024
+    while True:
+        dst = np.empty(cap, np.uint8)
+        n = lib.kz_zrlt_inverse(_u8ptr(src), len(src), _u8ptr(dst), cap)
+        if n == -2:
+            raise ValueError("ZRLT: malformed escape at end of input")
+        if n == -3:
+            cap *= 4
+            continue
+        return dst[:n]
 
 
 def hist_o01(src: np.ndarray):

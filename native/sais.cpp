@@ -27,8 +27,11 @@ inline bool is_lms(const uint8_t* t, int64_t i) {
 }
 
 // SA-IS over s[0..n-1], alphabet [0..K), s[n-1] must be the unique
-// smallest character (sentinel).
-void sais(const int32_t* s, int32_t* sa, int64_t n, int64_t K,
+// smallest character (sentinel). Templated on the text element type so
+// the top level scans uint16 (half the bandwidth of int32) while the
+// recursion uses int32 names.
+template <typename T>
+void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
           uint8_t* t /* scratch n bytes */) {
     if (n == 1) { sa[0] = 0; return; }
     // classify S(1)/L(0)
@@ -105,7 +108,7 @@ void sais(const int32_t* s, int32_t* sa, int64_t n, int64_t K,
 
     // stage 2: order LMS suffixes
     if (name < n1) {
-        sais(s1, sa, n1, name, t + n);  // t has 2n scratch at top level? no:
+        sais<int32_t>(s1, sa, n1, name, t + n);  // t has 2n scratch at top level? no:
         // NOTE: recursion classifies into the same t buffer region beyond n1
     } else {
         for (int64_t i = 0; i < n1; i++) sa[s1[i]] = int32_t(i);
@@ -149,7 +152,7 @@ int kz_sa(const uint8_t* src, int64_t n, int32_t* sa) {
     }
     for (int64_t i = 0; i < n; i++) s[i] = int32_t(src[i]) + 1;
     s[n] = 0;  // sentinel, unique minimum
-    sais(s.data(), sa2.data(), m, 257, t.data());
+    sais<int32_t>(s.data(), sa2.data(), m, 257, t.data());
     // sa2[0] is the sentinel suffix; drop it
     std::memcpy(sa, sa2.data() + 1, n * sizeof(int32_t));
     return 0;
@@ -182,60 +185,124 @@ int kz_bwt_forward(const uint8_t* src, int64_t n, int32_t idx_count,
     return 0;
 }
 
-// BWT inverse: packed val+link walk. indexes[0..idx_count) are the 1-based
-// primary indexes; idx_count > 1 splits the output into idx_count chunks
-// walked concurrently (biPSIv2-style intra-block parallelism).
+// BWT inverse: packed val+link walk (inverseMergeTPSI semantics,
+// src/transform/BWT.cpp:169-292; the reference packs uint32 val|link<<8
+// the same way). indexes[0..idx_count) are the 1-based primary indexes;
+// idx_count > 1 splits the output into idx_count chunks whose chains are
+// walked INTERLEAVED in one loop — the host has one core, so the win is
+// memory-level parallelism: 8 independent pointer chases keep 8 cache
+// misses in flight instead of 1.
 int kz_bwt_inverse(const uint8_t* bwt, int64_t n, const int64_t* indexes,
                    int32_t idx_count, uint8_t* dst) {
     if (n <= 0) return 0;
     const int64_t p_idx = indexes[0];
     if (p_idx <= 0 || p_idx > n) return -2;
-    // counting sort of positions by value (stable)
-    int64_t counts[256] = {0};
-    for (int64_t i = 0; i < n; i++) counts[bwt[i]]++;
-    std::vector<uint8_t> vals;
-    std::vector<int32_t> nxt;
-    try { vals.resize(n); nxt.resize(n); } catch (...) { return -1; }
+    const bool wide = n >= (int64_t(1) << 24);  // links need > 24 bits
+    std::vector<uint32_t> t32;
+    std::vector<uint64_t> t64;
+    try {
+        if (wide) t64.resize(n); else t32.resize(n);
+    } catch (...) { return -1; }
     {
+        // counting sort of positions by value, packing (link<<8 | val)
+        int64_t counts[256] = {0};
+        for (int64_t i = 0; i < n; i++) counts[bwt[i]]++;
         int64_t starts[256];
         int64_t sum = 0;
         for (int c = 0; c < 256; c++) { starts[c] = sum; sum += counts[c]; }
-        int64_t w = 0;
-        for (int c = 0; c < 256; c++) {
-            std::memset(vals.data() + w, c, counts[c]);
-            w += counts[c];
-        }
         for (int64_t i = 0; i < n; i++) {
             // link of original position i: i-1 for 1<=i<p_idx, 0 for i=0,
             // i for i>=p_idx (the inserted out[0] / skipped pIdx row)
             const int64_t link = (i == 0) ? 0 : (i < p_idx ? i - 1 : i);
-            nxt[starts[bwt[i]]++] = int32_t(link);
+            const int c = bwt[i];
+            if (wide) t64[starts[c]++] = (uint64_t(link) << 8) | uint64_t(c);
+            else t32[starts[c]++] = (uint32_t(link) << 8) | uint32_t(c);
         }
     }
     const int64_t st = n / idx_count;
     const int64_t step = (idx_count * st == n) ? st : st + 1;
-    auto walk = [&](int32_t tch) {
-        const int64_t begin = int64_t(tch) * step;
-        const int64_t end = (begin + step < n) ? begin + step : n;
-        int64_t ptr = indexes[tch] - 1;
-        for (int64_t i = begin; i < end; i++) {
-            dst[i] = vals[ptr];
-            ptr = nxt[ptr];
-        }
-    };
-    if (idx_count <= 1 || n < (1 << 18)) {
-        int64_t ptr = p_idx - 1;
-        for (int64_t i = 0; i < n; i++) {
-            dst[i] = vals[ptr];
-            ptr = nxt[ptr];
+    int nl = idx_count < 8 ? idx_count : 8;
+    // lane t covers [t*step, min((t+1)*step, n)); tiny blocks can leave
+    // trailing lanes empty
+    const int64_t full = n / step;            // lanes of full length
+    const int64_t partial = n - full * step;  // length of lane `full`
+    int64_t ptr[8] = {0};
+    for (int t = 0; t < nl; t++) {
+        if (t > full || (t == full && partial == 0)) continue;  // empty
+        const int64_t ix = indexes[t];
+        if (ix <= 0 || ix > n) return -2;
+        ptr[t] = ix - 1;
+    }
+    if (nl <= 1) {
+        int64_t p = p_idx - 1;
+        if (wide) {
+            for (int64_t i = 0; i < n; i++) {
+                const uint64_t u = t64[p];
+                dst[i] = uint8_t(u);
+                p = int64_t(u >> 8);
+            }
+        } else {
+            for (int64_t i = 0; i < n; i++) {
+                const uint32_t u = t32[p];
+                dst[i] = uint8_t(u);
+                p = int64_t(u >> 8);
+            }
         }
         return 0;
     }
-    std::vector<std::thread> ths;
-    for (int32_t tch = 1; tch < idx_count; tch++)
-        ths.emplace_back(walk, tch);
-    walk(0);
-    for (auto& th : ths) th.join();
+    const int lanes_a = int(full < nl ? full + (partial > 0 ? 1 : 0) : nl);
+    const int lanes_b = int(full < nl ? full : nl);
+    if (lanes_b == 8 && partial == 0 && !wide) {
+        // hot path (4-16 MiB blocks): 8 chains in explicit locals so all
+        // 8 loads issue independently every iteration
+        uint32_t* T = t32.data();
+        int64_t p0 = ptr[0], p1 = ptr[1], p2 = ptr[2], p3 = ptr[3];
+        int64_t p4 = ptr[4], p5 = ptr[5], p6 = ptr[6], p7 = ptr[7];
+        uint8_t* d0 = dst, *d1 = dst + step, *d2 = dst + 2 * step;
+        uint8_t* d3 = dst + 3 * step, *d4 = dst + 4 * step;
+        uint8_t* d5 = dst + 5 * step, *d6 = dst + 6 * step;
+        uint8_t* d7 = dst + 7 * step;
+        for (int64_t s = 0; s < step; s++) {
+            const uint32_t u0 = T[p0], u1 = T[p1], u2 = T[p2], u3 = T[p3];
+            const uint32_t u4 = T[p4], u5 = T[p5], u6 = T[p6], u7 = T[p7];
+            d0[s] = uint8_t(u0); p0 = u0 >> 8;
+            d1[s] = uint8_t(u1); p1 = u1 >> 8;
+            d2[s] = uint8_t(u2); p2 = u2 >> 8;
+            d3[s] = uint8_t(u3); p3 = u3 >> 8;
+            d4[s] = uint8_t(u4); p4 = u4 >> 8;
+            d5[s] = uint8_t(u5); p5 = u5 >> 8;
+            d6[s] = uint8_t(u6); p6 = u6 >> 8;
+            d7[s] = uint8_t(u7); p7 = u7 >> 8;
+        }
+        return 0;
+    }
+    if (wide) {
+        for (int64_t s = 0; s < partial; s++)
+            for (int t = 0; t < lanes_a; t++) {
+                const uint64_t u = t64[ptr[t]];
+                dst[t * step + s] = uint8_t(u);
+                ptr[t] = int64_t(u >> 8);
+            }
+        for (int64_t s = partial; s < step; s++)
+            for (int t = 0; t < lanes_b; t++) {
+                const uint64_t u = t64[ptr[t]];
+                dst[t * step + s] = uint8_t(u);
+                ptr[t] = int64_t(u >> 8);
+            }
+    } else {
+        for (int64_t s = 0; s < partial; s++)
+            for (int t = 0; t < lanes_a; t++) {
+                const uint32_t u = t32[ptr[t]];
+                dst[t * step + s] = uint8_t(u);
+                ptr[t] = int64_t(u >> 8);
+            }
+        for (int64_t s = partial; s < step; s++)
+            for (int t = 0; t < lanes_b; t++) {
+                const uint32_t u = t32[ptr[t]];
+                dst[t * step + s] = uint8_t(u);
+                ptr[t] = int64_t(u >> 8);
+            }
+    }
     return 0;
 }
 

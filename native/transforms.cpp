@@ -1515,3 +1515,92 @@ void kz_hist_o01(const uint8_t* src, int64_t n, int64_t* h0, int64_t* h1) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ZRLT forward (kanzi_tpu/transform/zrlt.py:25-81; reference
+// src/transform/ZRLT.cpp:27-210). Returns output length or -1 when the
+// output would exceed cap (transform skipped).
+int64_t kz_zrlt_forward(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t cap) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        if (src[i] == 0) {
+            int64_t run = 1;
+            while (i + run < n && src[i + run] == 0) run++;
+            const uint64_t r1 = uint64_t(run) + 1;
+            int log2 = 63 - __builtin_clzll(r1);
+            if (o + log2 > cap) return -1;
+            for (int b = log2 - 1; b >= 0; b--)
+                dst[o++] = uint8_t((r1 >> b) & 1);
+            i += run;
+        } else {
+            const int v = src[i];
+            if (v >= 0xFE) {
+                if (o + 2 > cap) return -1;
+                dst[o++] = 0xFF;
+                dst[o++] = uint8_t(v - 0xFE);
+            } else {
+                if (o >= cap) return -1;
+                dst[o++] = uint8_t(v + 1);
+            }
+            i++;
+        }
+    }
+    return o;
+}
+
+// ZRLT inverse (zrlt.py:83-124, exact port incl. trailing-run
+// termination). Returns output length, -2 on malformed escape, -3 when
+// dst cap is too small (caller grows and retries).
+int64_t kz_zrlt_inverse(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t cap) {
+    int64_t o = 0, i = 0;
+    int64_t run_length = 0;
+    while (true) {
+        int val = src[i];
+        if (val <= 1) {
+            run_length = 1;
+            while (val <= 1) {
+                run_length += run_length + val;
+                i++;
+                if (i >= n) break;
+                val = src[i];
+            }
+            if (i >= n) break;
+            run_length -= 1;
+            if (run_length > 0) {
+                if (o + run_length > cap) return -3;
+                memset(dst + o, 0, size_t(run_length));
+                o += run_length;
+                run_length = 0;
+                continue;
+            }
+        }
+        if (val == 0xFF) {
+            i++;
+            if (i >= n) return -2;
+            if (o >= cap) return -3;
+            dst[o++] = uint8_t((0xFE + src[i]) & 0xFF);
+        } else {
+            if (o >= cap) return -3;
+            dst[o++] = uint8_t(val - 1);
+        }
+        i++;
+        if (i >= n) {
+            run_length = 0;
+            break;
+        }
+    }
+    if (run_length > 0) {
+        run_length -= 1;
+        if (run_length > 0) {
+            if (o + run_length > cap) return -3;
+            memset(dst + o, 0, size_t(run_length));
+            o += run_length;
+        }
+    }
+    return o;
+}
+
+}  // extern "C"
