@@ -39,6 +39,17 @@ def _device_ans_enabled() -> bool:
         return False
 
 
+def _device_ans1_usable() -> bool:
+    """The ANS1 Pallas kernels need a real TPU (the 1M-step lane scan has
+    no XLA fallback) and the native hist/normalize helpers."""
+    try:
+        from kanzi_tpu.ops.ans import _on_tpu
+        from kanzi_tpu.utils import native
+        return _on_tpu() and native.transforms_available()
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _sym_encode_tables(freqs: np.ndarray, lr: int):
     """Per-symbol encode constants (ANSEncSymbol::reset).
 
@@ -123,6 +134,13 @@ class ANSRangeEncoder(EntropyEncoder):
             start = self._encode_device(block, count)
             if start >= count:
                 return count
+        elif (self.order == 1 and lr == 11
+                and self.chunk_size == (16384 << 8)
+                and count >= (16384 << 8) and _device_ans_enabled()
+                and _device_ans1_usable()):
+            start = self._encode_device1(block, count)
+            if start >= count:
+                return count
         chunks = []
         while start < count:
             size = min(self.chunk_size, count - start)
@@ -201,6 +219,43 @@ class ANSRangeEncoder(EntropyEncoder):
                     self.obs.write_bytes(
                         flat[offs[c]:offs[c] + plen[c]].tobytes())
         return full * 16384
+
+    def _encode_device1(self, block: np.ndarray, count: int) -> int:
+        """Encode all full 4 MiB order-1 chunks with the TPU kernels
+        (kanzi_tpu.ops.ans1: MXU bilinear table gather + in-kernel lane
+        scan); headers/states/payload assembled here byte-identically
+        with the numpy path. Returns the new start offset."""
+        import jax.numpy as jnp
+        from kanzi_tpu.ops import ans1 as dans1
+        from kanzi_tpu.utils import native
+        lr = self.log_range
+        full = count // dans1.CHUNK1
+        chunks = block[:full * dans1.CHUNK1].reshape(full, dans1.CHUNK1)
+        for b0 in range(0, full, 16):
+            sub = chunks[b0:b0 + 16]
+            freqs = np.stack([native.ans1_norm(native.ans1_hist(ch))
+                              for ch in sub])
+            states, flat, plen = dans1.ans1_encode_batch(sub, freqs)
+            states = np.asarray(states)
+            flat = np.asarray(flat)
+            plen = np.asarray(plen)
+            plen16 = plen // 2
+            off16 = np.cumsum(plen16) - plen16
+            for ci in range(len(sub)):
+                self.obs.write_bits(lr - 8, 3)
+                fr = freqs[ci]
+                for k in range(256):
+                    row = fr[k]
+                    alpha = np.nonzero(row)[0]
+                    if len(alpha) == 0:
+                        eu.encode_alphabet(self.obs,
+                                           np.zeros(0, np.int64))
+                    else:
+                        self._encode_header(alpha, row, lr)
+                pay = flat[off16[ci]:off16[ci] + plen16[ci]]
+                self._emit_chunk(states[ci],
+                                 pay.byteswap().tobytes(), b"")
+        return full * dans1.CHUNK1
 
     def _order1_histogram(self, chunk):
         """4-quarter order-1 histogram, prev=0 seeded at each quarter start

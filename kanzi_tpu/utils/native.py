@@ -90,6 +90,10 @@ def _load(name: str):
                 lib.kz_fsd_inverse_delta.restype = i64
                 lib.kz_fsd_inverse_delta.argtypes = [u8p, i64,
                                                      ctypes.c_int, u8p]
+                lib.kz_ans1_hist.restype = None
+                lib.kz_ans1_hist.argtypes = [u8p, i64, i64p]
+                lib.kz_ans1_norm.restype = None
+                lib.kz_ans1_norm.argtypes = [i64p]
                 lib.kz_zrlt_forward.restype = i64
                 lib.kz_zrlt_forward.argtypes = [u8p, i64, u8p, i64]
                 lib.kz_zrlt_inverse.restype = i64
@@ -379,6 +383,26 @@ def huff_dec_chunk(buf: bytes, nbits: int, bitpos: int, sz_chunk: int,
         raise ValueError("Could not generate Huffman codes: max code "
                          "length exceeded")
     return int(rc)
+
+
+def ans1_hist(chunk: np.ndarray) -> np.ndarray:
+    """Order-1 histogram [256,256] int64 (4-quarter semantics)."""
+    lib = _load("transforms")
+    chunk = np.ascontiguousarray(chunk, np.uint8)
+    hist = np.empty(65536, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kz_ans1_hist(_u8ptr(chunk), len(chunk), hist.ctypes.data_as(i64p))
+    return hist.reshape(256, 256)
+
+
+def ans1_norm(hist: np.ndarray) -> np.ndarray:
+    """Normalize all 256 contexts of an order-1 histogram in place to
+    scale 2048; returns the freqs array [256,256] int64."""
+    lib = _load("transforms")
+    hist = np.ascontiguousarray(hist, np.int64).reshape(-1)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kz_ans1_norm(hist.ctypes.data_as(i64p))
+    return hist.reshape(256, 256)
 
 
 def zrlt_forward(src: np.ndarray, cap: int):

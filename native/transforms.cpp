@@ -1604,3 +1604,40 @@ int64_t kz_zrlt_inverse(const uint8_t* src, int64_t n, uint8_t* dst,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Order-1 ANS histogram, 4-quarter semantics with prev=0 seeded at each
+// quarter start (kanzi_tpu/entropy/ans.py:_order1_histogram; reference
+// rebuildStatistics + Global::computeHistogram order-1).
+void kz_ans1_hist(const uint8_t* chunk, int64_t n, int64_t* hist) {
+    memset(hist, 0, 65536 * sizeof(int64_t));
+    if (n <= 0) return;
+    const int64_t quarter = n >> 2;
+    if (quarter == 0) {
+        for (int64_t i = 0; i + 1 < n; i++)
+            hist[int64_t(chunk[i]) * 256 + chunk[i + 1]]++;
+        hist[chunk[0]]++;
+        return;
+    }
+    for (int k = 0; k < 4; k++) {
+        const uint8_t* part = chunk + k * quarter;
+        for (int64_t i = 0; i + 1 < quarter; i++)
+            hist[int64_t(part[i]) * 256 + part[i + 1]]++;
+        hist[part[0]]++;
+    }
+}
+
+// Normalize all 256 order-1 contexts in place to scale 2048 (lr 11),
+// zero-total contexts untouched. Exact normalizeFrequencies semantics.
+void kz_ans1_norm(int64_t* hist) {
+    for (int k = 0; k < 256; k++) {
+        int64_t* row = hist + int64_t(k) * 256;
+        int64_t total = 0;
+        for (int i = 0; i < 256; i++) total += row[i];
+        if (total == 0) continue;
+        normalize_freqs(row, 256, total, 2048);
+    }
+}
+
+}  // extern "C"
