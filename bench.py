@@ -281,6 +281,29 @@ def device_rates(data: bytes):
     got = dec.decode(hn)
     assert bytes(got) == raw[:hn].tobytes()
     res["huffman_decode_MBps"] = hn / 1e6 / timing["s"]
+
+    # order-1 ANS encode pipeline (bilinear MXU gather + lane scan)
+    from kanzi_tpu.ops import ans1 as d1
+    from kanzi_tpu.utils import native
+    if dans._on_tpu() and native.transforms_available():
+        c1 = 16
+        a1chunks = np.frombuffer(data[:c1 * d1.CHUNK1],
+                                 np.uint8).reshape(c1, d1.CHUNK1)
+        a1freqs = np.stack([native.ans1_norm(native.ans1_hist(ch))
+                            for ch in a1chunks])
+        cj1 = jnp.asarray(a1chunks)
+        m1 = jnp.asarray(d1.planes_from_freqs_np(a1freqs))
+        lut1 = jnp.asarray(d1.INV_LUT)
+        run1 = d1._batch_fn(c1, d1.CHUNK1 // 4)
+        st1, _fl, _pl = run1(cj1, m1, lut1)
+        _ = np.asarray(st1[0, 0])
+        best = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            st1, _fl, _pl = run1(cj1, m1, lut1)
+            _ = np.asarray(st1[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        res["ans1_encode_MBps"] = c1 * d1.CHUNK1 / 1e6 / best
     return res
 
 
@@ -324,16 +347,23 @@ def main() -> int:
     dev = device_rates(data)
 
     ref_ans0 = cache.get("ans0_ref_MBps")
-    if have_ref and ref_ans0 is None:
+    ref_ans1 = cache.get("ans1_ref_MBps")
+    if have_ref and (ref_ans0 is None or ref_ans1 is None):
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "c.bin")
             with open(src, "wb") as f:
                 f.write(data[:64 * 1024 * 1024])
-            dt = min(_run_ref(["-c", "-f", "-t", "NONE", "-e", "ANS0",
-                               "-j", "1", "-i", src, "-o",
-                               os.path.join(td, "c.knz")]) for _ in range(2))
-            ref_ans0 = 64 * 1024 * 1024 / 1e6 / dt
-            cache["ans0_ref_MBps"] = round(ref_ans0, 2)
+            for key, ent in (("ans0_ref_MBps", "ANS0"),
+                             ("ans1_ref_MBps", "ANS1")):
+                if cache.get(key) is not None:
+                    continue
+                dt = min(_run_ref(["-c", "-f", "-t", "NONE", "-e", ent,
+                                   "-j", "1", "-i", src, "-o",
+                                   os.path.join(td, "c.knz")])
+                         for _ in range(2))
+                cache[key] = round(64 * 1024 * 1024 / 1e6 / dt, 2)
+            ref_ans0 = cache["ans0_ref_MBps"]
+            ref_ans1 = cache["ans1_ref_MBps"]
             with open(CACHE, "w") as f:
                 json.dump(cache, f)
 
@@ -348,6 +378,7 @@ def main() -> int:
             "corpus_MB": len(data) // (1024 * 1024),
             "device_HBM_to_HBM": {k: round(v, 2) for k, v in dev.items()},
             "ans0_ref_MBps": round(ref_ans0, 2) if ref_ans0 else None,
+            "ans1_ref_MBps": round(ref_ans1, 2) if ref_ans1 else None,
             "levels_host_e2e": levels,
             "note": ("levels_* compare our host-native pipeline to the "
                      "reference binary at -j 1 on this 1-core host; "

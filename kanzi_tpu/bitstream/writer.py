@@ -17,12 +17,29 @@ import numpy as np
 
 
 class BitWriter:
-    __slots__ = ("_buf", "_acc", "_nbits")
+    __slots__ = ("_buf", "_acc", "_nbits", "_pos")
 
     def __init__(self) -> None:
         self._buf = bytearray()
         self._acc = 0       # pending bits, MSB side = oldest
         self._nbits = 0     # number of pending bits in _acc (< 8 after flush)
+        self._pos = 0       # byte write cursor (== len(_buf) unless seek'd)
+
+    def _emit(self, data) -> None:
+        """Write bytes at the cursor, overwriting then extending."""
+        if self._pos == len(self._buf):
+            self._buf += data
+            self._pos = len(self._buf)
+            return
+        data = bytes(data)
+        end = self._pos + len(data)
+        if end <= len(self._buf):
+            self._buf[self._pos:end] = data
+        else:
+            keep = len(self._buf) - self._pos
+            self._buf[self._pos:] = data[:keep]
+            self._buf += data[keep:]
+        self._pos = end
 
     def write_bit(self, bit: int) -> None:
         self._acc = (self._acc << 1) | (bit & 1)
@@ -43,7 +60,7 @@ class BitWriter:
         nbytes = self._nbits >> 3
         rem = self._nbits & 7
         top = self._acc >> rem
-        self._buf += top.to_bytes(nbytes, "big")
+        self._emit(top.to_bytes(nbytes, "big"))
         self._acc &= (1 << rem) - 1
         self._nbits = rem
 
@@ -53,7 +70,7 @@ class BitWriter:
         if not data:
             return
         if self._nbits == 0:
-            self._buf += data
+            self._emit(data)
             return
         r = self._nbits
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -65,7 +82,7 @@ class BitWriter:
         out[0] = first | hi[0]
         if len(arr) > 1:
             out[1:] = lo[:-1] | hi[1:]
-        self._buf += out.tobytes()
+        self._emit(out.tobytes())
         self._acc = int(arr[-1]) & ((1 << r) - 1)
         # _nbits unchanged (still r pending bits)
 
@@ -114,6 +131,29 @@ class BitWriter:
     def written(self) -> int:
         """Bits written so far (including pending)."""
         return 8 * len(self._buf) + self._nbits
+
+    def tell(self) -> int:
+        """Current bit position incl. pending bits (Seekable, reference
+        DefaultOutputBitStream::tell :134-142)."""
+        return 8 * self._pos + self._nbits
+
+    def seek(self, bitpos: int) -> bool:
+        """Byte-aligned reposition; subsequent writes overwrite in place
+        (DefaultOutputBitStream::seek :145-170 semantics: whole pending
+        bytes are flushed, sub-byte remainder bits are discarded)."""
+        if bitpos < 0 or (bitpos & 7) != 0:
+            return False
+        nbytes = self._nbits >> 3
+        if nbytes:
+            self._emit((self._acc >> (self._nbits & 7))
+                       .to_bytes(nbytes, "big"))
+        self._acc = 0
+        self._nbits = 0
+        target = bitpos >> 3
+        if target > len(self._buf):
+            self._buf += bytes(target - len(self._buf))
+        self._pos = target
+        return True
 
     def getvalue(self) -> bytes:
         """Close: zero-pad last partial byte and return the byte stream."""

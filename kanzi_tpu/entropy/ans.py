@@ -98,7 +98,14 @@ class ANSRangeEncoder(EntropyEncoder):
 
     # --- header ---
     def _encode_header(self, alphabet, freqs, lr):
-        """encodeHeader (:118-155): alphabet + grouped log-packed freqs-1."""
+        """encodeHeader (:118-155): alphabet + grouped log-packed freqs-1.
+        alphabet is always the nonzero support of freqs, so the native
+        path derives it itself."""
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            data, nb = native.ans_enc_header(np.asarray(freqs[:256]), lr)
+            self.obs._append_bit_run(data, nb)
+            return
         eu.encode_alphabet(self.obs, alphabet)
         count = len(alphabet)
         if count <= 1:
@@ -245,13 +252,8 @@ class ANSRangeEncoder(EntropyEncoder):
                 self.obs.write_bits(lr - 8, 3)
                 fr = freqs[ci]
                 for k in range(256):
-                    row = fr[k]
-                    alpha = np.nonzero(row)[0]
-                    if len(alpha) == 0:
-                        eu.encode_alphabet(self.obs,
-                                           np.zeros(0, np.int64))
-                    else:
-                        self._encode_header(alpha, row, lr)
+                    data, nb = native.ans_enc_header(fr[k], lr)
+                    self.obs._append_bit_run(data, nb)
                 pay = flat[off16[ci]:off16[ci] + plen16[ci]]
                 self._emit_chunk(states[ci],
                                  pay.byteswap().tobytes(), b"")
@@ -325,7 +327,7 @@ class ANSRangeEncoder(EntropyEncoder):
         steps = end4 >> 2
         pos = (end4 - 1 - 4 * np.arange(steps)[:, None]
                - np.arange(4)[None, :])
-        sym_idx = chunk[pos].astype(np.int64)
+        sym_idx = chunk[pos].astype(np.int32)
         st, renorm = self._run_lanes(sym_idx, tabs)
         self._emit_chunk(st, renorm, chunk[end4:end].tobytes())
 
@@ -336,14 +338,14 @@ class ANSRangeEncoder(EntropyEncoder):
         # lane k walks its quarter backwards: pairs (ctx=block[i], sym=
         # block[i+1]) for i = quarter-2..0, then final (ctx=0, sym=block[0])
         steps = quarter
-        sym_idx = np.zeros((steps, 4), dtype=np.int64)
+        sym_idx = np.zeros((steps, 4), dtype=np.int32)
         base = np.arange(4) * quarter
         if quarter >= 2:
             i_vals = np.arange(quarter - 2, -1, -1)[:, None]  # (quarter-1, 1)
-            ctx = chunk[base[None, :] + i_vals].astype(np.int64)
-            sym = chunk[base[None, :] + i_vals + 1].astype(np.int64)
+            ctx = chunk[base[None, :] + i_vals].astype(np.int32)
+            sym = chunk[base[None, :] + i_vals + 1].astype(np.int32)
             sym_idx[:quarter - 1] = (ctx << 8) | sym
-        sym_idx[steps - 1] = chunk[base].astype(np.int64)  # ctx 0
+        sym_idx[steps - 1] = chunk[base].astype(np.int32)  # ctx 0
         st, renorm = self._run_lanes(sym_idx, tabs)
         self._emit_chunk(st, renorm, chunk[end4:end].tobytes())
 
@@ -361,6 +363,15 @@ class ANSRangeDecoder(EntropyDecoder):
 
     def _decode_header(self):
         """Returns (freqs (dim,256), alphabets list, lr) — decodeHeader."""
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            pos, freqs, counts, lr = native.ans_dec_header(
+                self.ibs._data, self.ibs._nbits, self.ibs._pos,
+                self.order)
+            self.ibs.seek(pos)
+            alphabets = [np.nonzero(freqs[k])[0]
+                         for k in range(freqs.shape[0])]
+            return freqs, alphabets, lr
         lr = 8 + self.ibs.read_bits(3)
         if lr > 15:
             raise ValueError(f"Invalid bitstream: range = {lr}")

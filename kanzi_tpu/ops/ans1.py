@@ -129,13 +129,13 @@ def _ans1_gather_kernel(idx_ref, m_ref, lut_ref, pk_ref, inv_ref):
     tile = idx.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (256, tile), 0)
     oh = (rows == prev).astype(jnp.bfloat16)          # [256, TILE]
-    mask = (rows == cur).astype(jnp.float32)
     g = jnp.dot(m_ref[0], oh,
                 preferred_element_type=jnp.float32)   # [768, TILE]
-    p0 = jnp.sum(g[0:256] * mask, axis=0, keepdims=True)
-    p1 = jnp.sum(g[256:512] * mask, axis=0, keepdims=True)
-    p2 = jnp.sum(g[512:768] * mask, axis=0, keepdims=True)
-    val = (p0 + 256.0 * p1 + 65536.0 * p2).astype(jnp.int32)  # [1, TILE]
+    # combine byte planes first (exact: value24 < 2^24 fits f32), then a
+    # single masked sublane reduction selects the `cur` column
+    g24 = g[0:256] + 256.0 * g[256:512] + 65536.0 * g[512:768]
+    val = jnp.sum(jnp.where(rows == cur, g24, 0.0), axis=0,
+                  keepdims=True).astype(jnp.int32)    # [1, TILE]
     f = val & 0xFFF
     cum = val >> 12
     small = f < 2
@@ -217,24 +217,32 @@ def _ans1_scan_kernel(pk_ref, inv_ref, em_ref, st_ref):
         mid = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)
         return ah * bh + (lh >> 16) + (hl >> 16) + (mid >> 16)
 
-    def step(s, st):
-        pk = pk_ref[pl.ds(s, 1), :]                   # [1,128] u32
-        iv = inv_ref[pl.ds(s, 1), :]
-        bias = pk >> 16
-        cmpl = (pk >> 4) & 0xFFF
-        sp = pk & 0xF
-        xmax = (jnp.uint32(SCALE1) - cmpl) << (31 - LOG_RANGE1)
-        flag = st >= xmax
-        hi_lo = st & jnp.uint32(0xFFFF)
-        st = jnp.where(flag, st >> 16, st)
-        q = mulhi32(st, iv) >> (sp - 1)
-        st = st + bias + q * cmpl
-        em_ref[pl.ds(s, 1), :] = jnp.where(
-            flag, jnp.uint32(1 << 16) | hi_lo, hi_lo & jnp.uint32(0))
+    def step8(s8, st):
+        # one aligned [8,128] load per 8 steps; the 8 sub-steps index the
+        # loaded value statically (dynamic sublane loads per step cost
+        # more than the step math itself)
+        off = pl.multiple_of(s8 * 8, 8)
+        pk8 = pk_ref[pl.ds(off, 8), :]                # [8,128] u32
+        iv8 = inv_ref[pl.ds(off, 8), :]
+        em_rows = []
+        for r in range(8):
+            pk = pk8[r:r + 1, :]
+            bias = pk >> 16
+            cmpl = (pk >> 4) & 0xFFF
+            sp = pk & 0xF
+            xmax = (jnp.uint32(SCALE1) - cmpl) << (31 - LOG_RANGE1)
+            flag = st >= xmax
+            hi_lo = st & jnp.uint32(0xFFFF)
+            st = jnp.where(flag, st >> 16, st)
+            q = mulhi32(st, iv8[r:r + 1, :]) >> (sp - 1)
+            st = st + bias + q * cmpl
+            em_rows.append(jnp.where(flag, jnp.uint32(1 << 16) | hi_lo,
+                                     hi_lo & jnp.uint32(0)))
+        em_ref[pl.ds(off, 8), :] = jnp.concatenate(em_rows, axis=0)
         return st
 
     st0 = st_ref[0:1, :]
-    st = jax.lax.fori_loop(0, ts, step, st0)
+    st = jax.lax.fori_loop(0, ts // 8, step8, st0)
     st_ref[0:1, :] = st
 
 

@@ -90,6 +90,12 @@ def _load(name: str):
                 lib.kz_fsd_inverse_delta.restype = i64
                 lib.kz_fsd_inverse_delta.argtypes = [u8p, i64,
                                                      ctypes.c_int, u8p]
+                lib.kz_ans_enc_header.restype = i64
+                lib.kz_ans_enc_header.argtypes = [i64p, ctypes.c_int, u8p]
+                lib.kz_ans_dec_header.restype = i64
+                lib.kz_ans_dec_header.argtypes = [
+                    u8p, i64, i64, ctypes.c_int, i64p, i32p,
+                    ctypes.POINTER(ctypes.c_int32)]
                 lib.kz_ans1_hist.restype = None
                 lib.kz_ans1_hist.argtypes = [u8p, i64, i64p]
                 lib.kz_ans1_norm.restype = None
@@ -383,6 +389,40 @@ def huff_dec_chunk(buf: bytes, nbits: int, bitpos: int, sz_chunk: int,
         raise ValueError("Could not generate Huffman codes: max code "
                          "length exceeded")
     return int(rc)
+
+
+def ans_enc_header(freqs: np.ndarray, lr: int):
+    """One context's ANS header (alphabet + grouped freqs). Returns
+    (bitrun bytes, nbits)."""
+    lib = _load("transforms")
+    freqs = np.ascontiguousarray(freqs, np.int64)
+    out = np.empty(1024, np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    nbits = lib.kz_ans_enc_header(freqs.ctypes.data_as(i64p), lr,
+                                  _u8ptr(out))
+    return out[:(nbits + 7) >> 3].tobytes(), int(nbits)
+
+
+def ans_dec_header(buf: bytes, nbits: int, bitpos: int, order: int):
+    """Full ANS chunk header parse. Returns (newpos, freqs [dim,256]
+    int64, alpha_counts [dim] int32, lr). Raises on malformed data."""
+    from kanzi_tpu.bitstream.reader import BitStreamError
+    lib = _load("transforms")
+    dim = 255 * order + 1
+    freqs = np.zeros(dim * 256, np.int64)
+    counts = np.zeros(dim, np.int32)
+    lr = ctypes.c_int32(0)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.kz_ans_dec_header(
+        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        nbits, bitpos, order, freqs.ctypes.data_as(i64p),
+        counts.ctypes.data_as(i32p), ctypes.byref(lr))
+    if rc == -2:
+        raise BitStreamError("read past end of bitstream")
+    if rc < 0:
+        raise ValueError("Invalid bitstream: incorrect ANS header")
+    return int(rc), freqs.reshape(dim, 256), counts, int(lr.value)
 
 
 def ans1_hist(chunk: np.ndarray) -> np.ndarray:

@@ -1641,3 +1641,104 @@ void kz_ans1_norm(int64_t* hist) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ANS header encode for one context (kanzi_tpu/entropy/ans.py
+// _encode_header; reference ANSRangeEncoder::encodeHeader :118-155):
+// alphabet bitmap + grouped log-packed freqs-1 (first symbol implied).
+// freqs[256] normalized to 1<<lr. Returns bits written (out >= 1 KiB).
+int64_t kz_ans_enc_header(const int64_t* freqs, int lr, uint8_t* out) {
+    HBitW w{out};
+    int alpha[256];
+    int count = 0;
+    for (int s = 0; s < 256; s++)
+        if (freqs[s]) alpha[count++] = s;
+    if (count == 0) {
+        w.put(0, 1); w.put(1, 1);
+    } else if (count == 256) {
+        w.put(0, 1); w.put(0, 1);
+    } else {
+        w.put(1, 1);
+        uint8_t masks[32] = {0};
+        for (int i = 0; i < count; i++)
+            masks[alpha[i] >> 3] |= uint8_t(1 << (alpha[i] & 7));
+        const int last_mask = alpha[count - 1] >> 3;
+        w.put(uint64_t(last_mask), 5);
+        for (int i = 0; i <= last_mask; i++) w.put(masks[i], 8);
+    }
+    if (count <= 1) return w.finish();
+    const int chk = count >= 64 ? 8 : 6;
+    const int llr = hbitlen(uint32_t(lr));
+    for (int i = 1; i < count; i += chk) {
+        const int endj = (i + chk < count) ? i + chk : count;
+        int64_t mx = 0;
+        for (int j = i; j < endj; j++)
+            if (freqs[alpha[j]] - 1 > mx) mx = freqs[alpha[j]] - 1;
+        const int log_max = (mx == 0) ? 0 : hbitlen(uint32_t(mx));
+        w.put(uint64_t(log_max), llr);
+        if (log_max)
+            for (int j = i; j < endj; j++)
+                w.put(uint64_t(freqs[alpha[j]] - 1), log_max);
+    }
+    return w.finish();
+}
+
+// Full ANS chunk header decode (entropy/ans.py _decode_header): lr + all
+// dim contexts' alphabets and frequencies. freqs_out [dim*256] i64,
+// alpha_counts [dim] i32. Returns new bit position, -2 on overrun, -4 on
+// invalid data.
+int64_t kz_ans_dec_header(const uint8_t* buf, int64_t nbits, int64_t pos,
+                          int order, int64_t* freqs_out,
+                          int32_t* alpha_counts, int32_t* lr_out) {
+    HBitR r{buf, nbits, pos};
+    const int lr = 8 + int(r.bits(3));
+    if (r.err) return -2;
+    if (lr > 15) return -4;
+    const int dim = 255 * order + 1;
+    const int64_t scale = int64_t(1) << lr;
+    const int llr = hbitlen(uint32_t(lr));
+    memset(freqs_out, 0, size_t(dim) * 256 * sizeof(int64_t));
+    for (int k = 0; k < dim; k++) {
+        int alpha[256];
+        int count = 0;
+        if (r.bit() == 0) {                  // FULL_ALPHABET
+            if (r.bit() == 0) {              // ALPHABET_256
+                count = 256;
+                for (int i = 0; i < 256; i++) alpha[i] = i;
+            }
+        } else {
+            const int last_mask = int(r.bits(5));
+            for (int i = 0; i <= last_mask; i++) {
+                const uint8_t m = uint8_t(r.bits(8));
+                for (int j = 0; j < 8; j++)
+                    if (m & (1 << j)) alpha[count++] = 8 * i + j;
+            }
+        }
+        if (r.err) return -2;
+        alpha_counts[k] = count;
+        if (count == 0) continue;
+        const int chk = count >= 64 ? 8 : 6;
+        int64_t s = 0;
+        for (int i = 1; i < count; i += chk) {
+            const int log_max = int(r.bits(llr));
+            if (r.err) return -2;
+            if (log_max > lr) return -4;
+            const int endj = (i + chk < count) ? i + chk : count;
+            for (int j = i; j < endj; j++) {
+                const int64_t f =
+                    (log_max == 0) ? 1 : int64_t(r.bits(log_max)) + 1;
+                if (r.err) return -2;
+                if (f >= scale) return -4;
+                freqs_out[int64_t(k) * 256 + alpha[j]] = f;
+                s += f;
+            }
+        }
+        if (scale <= s) return -4;
+        freqs_out[int64_t(k) * 256 + alpha[0]] = scale - s;
+    }
+    *lr_out = int32_t(lr);
+    return r.pos;
+}
+
+}  // extern "C"

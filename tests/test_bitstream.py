@@ -75,3 +75,23 @@ def test_write_bits_array_matches_sequential():
     w2 = BitWriter()
     w2.write_bits_array(vals, ns)
     assert w1.getvalue() == w2.getvalue()
+
+
+def test_writer_tell_seek():
+    """Seekable writer (DefaultOutputBitStream::tell/seek :134-170):
+    byte-aligned reposition, overwrite-in-place, sub-byte discard."""
+    from kanzi_tpu.bitstream import BitWriter
+    w = BitWriter()
+    w.write_bits(0xABCD, 16)
+    w.write_bytes(b"hello")
+    assert w.tell() == 7 * 8
+    assert not w.seek(3)          # non-byte-aligned rejected
+    assert w.seek(16)
+    w.write_bytes(b"HE")
+    assert w.seek(7 * 8)
+    w.write_bits(0x12, 8)
+    assert w.getvalue() == bytes([0xAB, 0xCD]) + b"HEllo" + bytes([0x12])
+    w2 = BitWriter()
+    w2.write_bits(0b101, 3)
+    assert w2.seek(0)
+    assert w2.getvalue() == b""   # pending sub-byte bits discarded
