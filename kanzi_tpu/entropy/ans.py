@@ -166,16 +166,26 @@ class ANSRangeEncoder(EntropyEncoder):
                 tabs = _sym_encode_tables(freqs, lr)
                 self._encode_chunk0(chunk, tabs)
             else:
-                hist = self._order1_histogram(chunk)
-                tabs_freqs = np.zeros((256, 256), dtype=np.int64)
-                for k in range(256):
-                    total = int(hist[k].sum())
-                    if total == 0:
-                        eu.encode_alphabet(self.obs, np.zeros(0, np.int64))
-                        continue
-                    freqs, alphabet = self._normalize_context(hist[k], total, lr)
-                    self._encode_header(alphabet, freqs, lr)
-                    tabs_freqs[k] = freqs[:256]
+                from kanzi_tpu.utils import native
+                if lr == 11 and native.transforms_available():
+                    # native histogram + per-context normalize + headers
+                    tabs_freqs = native.ans1_norm(native.ans1_hist(chunk))
+                    for k in range(256):
+                        data, nb = native.ans_enc_header(tabs_freqs[k], lr)
+                        self.obs._append_bit_run(data, nb)
+                else:
+                    hist = self._order1_histogram(chunk)
+                    tabs_freqs = np.zeros((256, 256), dtype=np.int64)
+                    for k in range(256):
+                        total = int(hist[k].sum())
+                        if total == 0:
+                            eu.encode_alphabet(self.obs,
+                                               np.zeros(0, np.int64))
+                            continue
+                        freqs, alphabet = self._normalize_context(
+                            hist[k], total, lr)
+                        self._encode_header(alphabet, freqs, lr)
+                        tabs_freqs[k] = freqs[:256]
                 tabs = _sym_encode_tables(tabs_freqs, lr)
                 self._encode_chunk1(chunk, tabs)
         return count
@@ -473,12 +483,15 @@ class ANSRangeDecoder(EntropyDecoder):
         mask = (1 << lr) - 1
         f = np.minimum(freqs, (1 << lr) - 1)  # mirror encoder clamp
         cum = np.cumsum(f, axis=-1) - f
-        # freq -> symbol inverse map per context
-        f2s = np.zeros((freqs.shape[0], 1 << lr), dtype=np.uint8)
-        for k in range(freqs.shape[0]):
-            rep = np.repeat(np.arange(256, dtype=np.uint8), f[k])
-            f2s[k, :len(rep)] = rep[: 1 << lr]
         from kanzi_tpu.utils import native
+        # freq -> symbol inverse map per context
+        if native.transforms_available():
+            f2s = native.ans_f2s(freqs, lr)
+        else:
+            f2s = np.zeros((freqs.shape[0], 1 << lr), dtype=np.uint8)
+            for k in range(freqs.shape[0]):
+                rep = np.repeat(np.arange(256, dtype=np.uint8), f[k])
+                f2s[k, :len(rep)] = rep[: 1 << lr]
         if native.ans_available():
             consumed = native.ans_dec_chunk(
                 payload[:sz].astype(np.uint8).tobytes(),

@@ -96,6 +96,9 @@ def _load(name: str):
                 lib.kz_ans_dec_header.argtypes = [
                     u8p, i64, i64, ctypes.c_int, i64p, i32p,
                     ctypes.POINTER(ctypes.c_int32)]
+                lib.kz_ans_f2s.restype = None
+                lib.kz_ans_f2s.argtypes = [i64p, ctypes.c_int,
+                                           ctypes.c_int, u8p]
                 lib.kz_ans1_hist.restype = None
                 lib.kz_ans1_hist.argtypes = [u8p, i64, i64p]
                 lib.kz_ans1_norm.restype = None
@@ -423,6 +426,17 @@ def ans_dec_header(buf: bytes, nbits: int, bitpos: int, order: int):
     if rc < 0:
         raise ValueError("Invalid bitstream: incorrect ANS header")
     return int(rc), freqs.reshape(dim, 256), counts, int(lr.value)
+
+
+def ans_f2s(freqs: np.ndarray, lr: int) -> np.ndarray:
+    """freq->symbol inverse map [dim, 1<<lr] u8 (clamped + truncated)."""
+    lib = _load("transforms")
+    freqs = np.ascontiguousarray(freqs, np.int64)
+    dim = freqs.shape[0]
+    out = np.empty((dim, 1 << lr), np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kz_ans_f2s(freqs.ctypes.data_as(i64p), dim, lr, _u8ptr(out))
+    return out
 
 
 def ans1_hist(chunk: np.ndarray) -> np.ndarray:

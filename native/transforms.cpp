@@ -1742,3 +1742,24 @@ int64_t kz_ans_dec_header(const uint8_t* buf, int64_t nbits, int64_t pos,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// freq -> symbol inverse map per context (entropy/ans.py _decode_chunk:
+// np.repeat of each context's clamped freqs, truncated to 1<<lr).
+void kz_ans_f2s(const int64_t* freqs, int dim, int lr, uint8_t* out) {
+    const int64_t scale = int64_t(1) << lr;
+    for (int k = 0; k < dim; k++) {
+        uint8_t* row = out + int64_t(k) * scale;
+        memset(row, 0, size_t(scale));
+        int64_t pos = 0;
+        for (int s = 0; s < 256 && pos < scale; s++) {
+            int64_t f = freqs[int64_t(k) * 256 + s];
+            if (f > scale - 1) f = scale - 1;
+            if (f > scale - pos) f = scale - pos;
+            for (int64_t i = 0; i < f; i++) row[pos++] = uint8_t(s);
+        }
+    }
+}
+
+}  // extern "C"
