@@ -27,11 +27,12 @@ inline bool is_lms(const uint8_t* t, int64_t i) {
 }
 
 // SA-IS over s[0..n-1], alphabet [0..K), s[n-1] must be the unique
-// smallest character (sentinel). Templated on the text element type so
-// the top level scans uint16 (half the bandwidth of int32) while the
-// recursion uses int32 names.
+// smallest character (sentinel). s is MUTATED: the S/L type bit is
+// packed into bit 30 of each element so the induce scans touch one
+// random cache line per step instead of two (s[j] and t[j] live in
+// different lines; the chase is miss-bound on this host).
 template <typename T>
-void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
+void sais(T* s, int32_t* sa, int64_t n, int64_t K,
           uint8_t* t /* scratch n bytes */) {
     if (n == 1) { sa[0] = 0; return; }
     // classify S(1)/L(0)
@@ -41,6 +42,11 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
 
     std::vector<int32_t> counts(K, 0), bkt(K);
     for (int64_t i = 0; i < n; i++) counts[s[i]]++;
+
+    constexpr T TBIT = T(1) << (8 * sizeof(T) - 2);
+    constexpr T TMASK = TBIT - 1;
+    for (int64_t i = 0; i < n; i++)
+        if (t[i]) s[i] |= TBIT;
 
     auto bucket_ends = [&] {
         int32_t sum = 0;
@@ -55,13 +61,19 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
         bucket_starts();
         for (int64_t i = 0; i < n; i++) {
             const int32_t j = sa[i] - 1;
-            if (sa[i] > 0 && !t[j]) sa[bkt[s[j]]++] = j;
+            if (sa[i] > 0) {
+                const T v = s[j];
+                if (!(v & TBIT)) sa[bkt[v]++] = j;
+            }
         }
         // S-type right-to-left from bucket ends
         bucket_ends();
         for (int64_t i = n - 1; i >= 0; i--) {
             const int32_t j = sa[i] - 1;
-            if (sa[i] > 0 && t[j]) sa[--bkt[s[j]]] = j;
+            if (sa[i] > 0) {
+                const T v = s[j];
+                if (v & TBIT) sa[--bkt[v & TMASK]] = j;
+            }
         }
     };
 
@@ -69,7 +81,7 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
     std::memset(sa, -1, n * sizeof(int32_t));
     bucket_ends();
     for (int64_t i = 1; i < n; i++)
-        if (is_lms(t, i)) sa[--bkt[s[i]]] = int32_t(i);
+        if (is_lms(t, i)) sa[--bkt[s[i] & TMASK]] = int32_t(i);
     induce();
 
     // compact sorted LMS positions into sa[0..n1)
@@ -92,7 +104,8 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
                     diff = !(is_lms(t, pos + d) && is_lms(t, prev + d));
                     break;
                 }
-                if (s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+                // packed compare: symbol AND type bit in one load
+                if (s[pos + d] != s[prev + d]) {
                     diff = true;
                     break;
                 }
@@ -125,7 +138,7 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
     for (int64_t i = n1 - 1; i >= 0; i--) {
         const int32_t j = sa[i];
         sa[i] = -1;
-        sa[--bkt[s[j]]] = j;
+        sa[--bkt[s[j] & TMASK]] = j;
     }
     induce();
 }
@@ -140,7 +153,7 @@ int kz_sa(const uint8_t* src, int64_t n, int32_t* sa) {
     if (n <= 0) return 0;
     if (n == 1) { sa[0] = 0; return 0; }
     const int64_t m = n + 1;
-    std::vector<int32_t> s;
+    std::vector<uint16_t> s;
     std::vector<int32_t> sa2;
     std::vector<uint8_t> t;
     try {
@@ -150,9 +163,9 @@ int kz_sa(const uint8_t* src, int64_t n, int32_t* sa) {
     } catch (...) {
         return -1;
     }
-    for (int64_t i = 0; i < n; i++) s[i] = int32_t(src[i]) + 1;
+    for (int64_t i = 0; i < n; i++) s[i] = uint16_t(src[i]) + 1;
     s[n] = 0;  // sentinel, unique minimum
-    sais<int32_t>(s.data(), sa2.data(), m, 257, t.data());
+    sais<uint16_t>(s.data(), sa2.data(), m, 257, t.data());
     // sa2[0] is the sentinel suffix; drop it
     std::memcpy(sa, sa2.data() + 1, n * sizeof(int32_t));
     return 0;

@@ -1016,12 +1016,21 @@ struct HBitW {                    // MSB-first accumulator writer
     inline void put(uint64_t v, int n) {   // n <= 32
         acc = (acc << n) | (v & ((1ull << n) - 1));
         nacc += n;
+        if (nacc >= 32) {                  // word-wide spill (nacc < 64)
+            nacc -= 32;
+            const uint32_t w32 = uint32_t(acc >> nacc);
+            out[nbytes] = uint8_t(w32 >> 24);
+            out[nbytes + 1] = uint8_t(w32 >> 16);
+            out[nbytes + 2] = uint8_t(w32 >> 8);
+            out[nbytes + 3] = uint8_t(w32);
+            nbytes += 4;
+        }
+    }
+    int64_t finish() {
         while (nacc >= 8) {
             nacc -= 8;
             out[nbytes++] = uint8_t(acc >> nacc);
         }
-    }
-    int64_t finish() {
         const int64_t bits = 8 * nbytes + nacc;
         if (nacc) out[nbytes] = uint8_t(acc << (8 - nacc));
         return bits;
@@ -1346,20 +1355,44 @@ int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
     }
     if (acount <= 1) return w.finish();
 
-    // 4 fragments: varint bit counts first, then the packed streams
+    // 4 fragments: packed interleaved into side buffers (4 independent
+    // accumulator chains in flight instead of 1 serial one), then
+    // varint bit counts + the streams spliced into the output
     const int64_t sz_frag = count / 4;
-    for (int j = 0; j < 4; j++) {
-        const uint8_t* src = chunk + j * sz_frag;
-        uint64_t nb = 0;
-        for (int64_t i = 0; i < sz_frag; i++) nb += uint64_t(sizes[src[i]]);
-        varint_put(w, uint32_t(nb));
+    static thread_local std::vector<uint8_t> fb[4];
+    for (int j = 0; j < 4; j++)
+        if (int64_t(fb[j].size()) < 2 * sz_frag + 16)
+            fb[j].resize(size_t(2 * sz_frag + 16));
+    HBitW w0{fb[0].data()}, w1{fb[1].data()};
+    HBitW w2{fb[2].data()}, w3{fb[3].data()};
+    const uint8_t* s0 = chunk;
+    const uint8_t* s1 = chunk + sz_frag;
+    const uint8_t* s2 = chunk + 2 * sz_frag;
+    const uint8_t* s3 = chunk + 3 * sz_frag;
+    uint32_t cl[256];                  // code | len<<16: one load/symbol
+    for (int s = 0; s < 256; s++)
+        cl[s] = uint32_t(codes[s]) | (uint32_t(sizes[s]) << 16);
+    for (int64_t i = 0; i < sz_frag; i++) {
+        const uint32_t a = cl[s0[i]], b = cl[s1[i]];
+        const uint32_t c = cl[s2[i]], d = cl[s3[i]];
+        w0.put(a & 0xFFFF, int(a >> 16));
+        w1.put(b & 0xFFFF, int(b >> 16));
+        w2.put(c & 0xFFFF, int(c >> 16));
+        w3.put(d & 0xFFFF, int(d >> 16));
     }
+    int64_t fbits[4] = {w0.finish(), w1.finish(), w2.finish(),
+                        w3.finish()};
+    for (int j = 0; j < 4; j++) varint_put(w, uint32_t(fbits[j]));
     for (int j = 0; j < 4; j++) {
-        const uint8_t* src = chunk + j * sz_frag;
-        for (int64_t i = 0; i < sz_frag; i++) {
-            const int s = src[i];
-            w.put(uint64_t(codes[s]), sizes[s]);
-        }
+        const uint8_t* d = fb[j].data();
+        const int64_t full = fbits[j] >> 3;
+        int64_t i = 0;
+        for (; i + 4 <= full; i += 4)
+            w.put((uint32_t(d[i]) << 24) | (uint32_t(d[i + 1]) << 16)
+                  | (uint32_t(d[i + 2]) << 8) | d[i + 3], 32);
+        for (; i < full; i++) w.put(d[i], 8);
+        const int rem = int(fbits[j] & 7);
+        if (rem) w.put(d[full] >> (8 - rem), rem);
     }
     for (int64_t i = 4 * sz_frag; i < count; i++) w.put(chunk[i], 8);
     return w.finish();
@@ -1435,34 +1468,62 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
         if (r.err) return -2;
         if (frag_bits[j] < 0) return -3;
     }
-    static thread_local std::vector<uint8_t> fragbuf;
+    // byte-aligned copies of all 4 fragment bitstreams (+8 pad for the
+    // 24-bit window reads of the walk), then ONE interleaved walk: the
+    // 4 streams are independent, so 4 table-walk chains in flight hide
+    // the per-symbol load latency that a serial walk eats in full.
+    static thread_local std::vector<uint8_t> fragbuf[4];
+    const int64_t total_bytes = (nbits + 7) >> 3;
     for (int j = 0; j < 4; j++) {
         const int64_t nb = frag_bits[j];
         if (r.pos + nb > nbits) return -2;
         const int64_t nbytes = (nb + 7) >> 3;
-        // byte-aligned copy of the fragment bits (+8 pad for the 24-bit
-        // window reads of the walk)
-        if (int64_t(fragbuf.size()) < size_t(nbytes + 8))
-            fragbuf.resize(size_t(nbytes + 8));
+        if (int64_t(fragbuf[j].size()) < nbytes + 8)
+            fragbuf[j].resize(size_t(nbytes + 8));
         const int off = int(r.pos & 7);
         const int64_t b0 = r.pos >> 3;
-        const int64_t total_bytes = (nbits + 7) >> 3;
         if (off == 0) {
             for (int64_t i = 0; i < nbytes; i++)
-                fragbuf[size_t(i)] = (b0 + i) < total_bytes ? buf[b0 + i]
-                                                            : 0;
+                fragbuf[j][size_t(i)] =
+                    (b0 + i) < total_bytes ? buf[b0 + i] : 0;
         } else {
             for (int64_t i = 0; i < nbytes; i++) {
                 const uint8_t hi = uint8_t(buf[b0 + i] << off);
                 const uint8_t lo = (b0 + i + 1) < total_bytes
                     ? uint8_t(buf[b0 + i + 1] >> (8 - off)) : 0;
-                fragbuf[size_t(i)] = hi | lo;
+                fragbuf[j][size_t(i)] = hi | lo;
             }
         }
-        memset(fragbuf.data() + nbytes, 0, 8);
-        kz_huff_dec_frag(fragbuf.data(), sz_frag, tbl_sym, tbl_len,
-                         out + j * sz_frag);
+        memset(fragbuf[j].data() + nbytes, 0, 8);
         r.pos += nb;
+    }
+    {
+        const uint8_t* fb0 = fragbuf[0].data();
+        const uint8_t* fb1 = fragbuf[1].data();
+        const uint8_t* fb2 = fragbuf[2].data();
+        const uint8_t* fb3 = fragbuf[3].data();
+        uint8_t* o0 = out;
+        uint8_t* o1 = out + sz_frag;
+        uint8_t* o2 = out + 2 * sz_frag;
+        uint8_t* o3 = out + 3 * sz_frag;
+        int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+        auto peek = [&](const uint8_t* fb, int64_t bp) -> uint32_t {
+            const int64_t byte = bp >> 3;
+            const uint32_t w24 = (uint32_t(fb[byte]) << 16)
+                               | (uint32_t(fb[byte + 1]) << 8)
+                               | fb[byte + 2];
+            return (w24 >> (12 - (bp & 7))) & 0xFFF;
+        };
+        for (int64_t i = 0; i < sz_frag; i++) {
+            const uint32_t v0 = peek(fb0, b0);
+            const uint32_t v1 = peek(fb1, b1);
+            const uint32_t v2 = peek(fb2, b2);
+            const uint32_t v3 = peek(fb3, b3);
+            o0[i] = tbl_sym[v0]; b0 += tbl_len[v0];
+            o1[i] = tbl_sym[v1]; b1 += tbl_len[v1];
+            o2[i] = tbl_sym[v2]; b2 += tbl_len[v2];
+            o3[i] = tbl_sym[v3]; b3 += tbl_len[v3];
+        }
     }
     for (int64_t i = 4 * sz_frag; i < sz_chunk; i++) {
         out[i] = uint8_t(r.bits(8));
