@@ -348,14 +348,20 @@ class ANSRangeEncoder(EntropyEncoder):
         # lane k walks its quarter backwards: pairs (ctx=block[i], sym=
         # block[i+1]) for i = quarter-2..0, then final (ctx=0, sym=block[0])
         steps = quarter
-        sym_idx = np.zeros((steps, 4), dtype=np.int32)
-        base = np.arange(4) * quarter
-        if quarter >= 2:
-            i_vals = np.arange(quarter - 2, -1, -1)[:, None]  # (quarter-1, 1)
-            ctx = chunk[base[None, :] + i_vals].astype(np.int32)
-            sym = chunk[base[None, :] + i_vals + 1].astype(np.int32)
-            sym_idx[:quarter - 1] = (ctx << 8) | sym
-        sym_idx[steps - 1] = chunk[base].astype(np.int32)  # ctx 0
+        from kanzi_tpu.utils import native
+        if steps and native.transforms_available():
+            sym_idx = native.ans1_sym_idx(chunk)
+        else:
+            sym_idx = np.zeros((steps, 4), dtype=np.int32)
+            base = np.arange(4) * quarter
+            if quarter >= 2:
+                i_vals = np.arange(quarter - 2, -1, -1)[:, None]
+                ctx = chunk[base[None, :] + i_vals].astype(np.int32)
+                sym = chunk[base[None, :] + i_vals + 1].astype(np.int32)
+                sym_idx[:quarter - 1] = (ctx << 8) | sym
+            if steps:
+                sym_idx[steps - 1] = chunk[np.arange(4)
+                                           * quarter].astype(np.int32)
         st, renorm = self._run_lanes(sym_idx, tabs)
         self._emit_chunk(st, renorm, chunk[end4:end].tobytes())
 

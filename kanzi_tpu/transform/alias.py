@@ -40,7 +40,13 @@ class AliasCodec(ByteTransform):
         if self.only_dna and dt not in (stats.UNDEFINED, stats.DNA):
             return None
 
-        freqs0 = np.bincount(src, minlength=256).astype(np.int64)
+        from kanzi_tpu.utils import native
+        use_native = native.transforms_available()
+        if use_native:
+            freqs0, _h1 = native.hist_o01(src)
+        else:
+            freqs0 = np.bincount(src, minlength=256).astype(np.int64)
+            _h1 = None
         absent = np.nonzero(freqs0 == 0)[0].tolist()
         n0 = len(absent)
         if n0 < 16:
@@ -82,10 +88,13 @@ class AliasCodec(ByteTransform):
                     packed = (q[:, 0] << 4) | q[:, 1]
                     dst += packed.astype(np.uint8).tobytes()
         else:
-            # digram mode
-            idx = (src[:-1].astype(np.int64) << 8) | src[1:]
-            freqs1 = np.bincount(idx, minlength=65536).astype(np.int64)
-            freqs1[src[0]] += 1  # order-1 histogram seeds prev=0
+            # digram mode (freqs1 == order-1 histogram with prev=0 seed)
+            if _h1 is not None:
+                freqs1 = _h1.reshape(-1)
+            else:
+                idx = (src[:-1].astype(np.int64) << 8) | src[1:]
+                freqs1 = np.bincount(idx, minlength=65536).astype(np.int64)
+                freqs1[src[0]] += 1
             # NOTE: reference uses computeHistogram(..., false) without
             # total: freqs[prv<<8|cur] with prv=0 seed for the first byte
             present1 = np.nonzero(freqs1)[0]
@@ -110,21 +119,27 @@ class AliasCodec(ByteTransform):
                 dst.append(absent[i])
             if savings < count // 20:
                 return None
-            data = src.tolist()
-            src_idx = 0
-            src_end = count - 1
-            while src_idx < src_end:
-                pair = (data[src_idx] << 8) | data[src_idx + 1]
-                a = map16_alias[pair]
-                if a >= 0:
-                    dst.append(int(a))
-                    src_idx += 2
-                else:
+            if use_native:
+                body, odd = native.alias_emit(src, map16_alias)
+                dst += body
+                if odd:
+                    dst[1] = 1
+            else:
+                data = src.tolist()
+                src_idx = 0
+                src_end = count - 1
+                while src_idx < src_end:
+                    pair = (data[src_idx] << 8) | data[src_idx + 1]
+                    a = map16_alias[pair]
+                    if a >= 0:
+                        dst.append(int(a))
+                        src_idx += 2
+                    else:
+                        dst.append(data[src_idx])
+                        src_idx += 1
+                if src_idx != count:
+                    dst[1] = 1
                     dst.append(data[src_idx])
-                    src_idx += 1
-            if src_idx != count:
-                dst[1] = 1
-                dst.append(data[src_idx])
         if len(dst) >= count:
             return None
         return np.frombuffer(bytes(dst), dtype=np.uint8)

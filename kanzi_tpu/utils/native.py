@@ -96,6 +96,11 @@ def _load(name: str):
                 lib.kz_ans_dec_header.argtypes = [
                     u8p, i64, i64, ctypes.c_int, i64p, i32p,
                     ctypes.POINTER(ctypes.c_int32)]
+                lib.kz_alias_emit.restype = i64
+                lib.kz_alias_emit.argtypes = [
+                    u8p, i64, i64p, u8p, ctypes.POINTER(ctypes.c_int)]
+                lib.kz_ans1_sym_idx.restype = None
+                lib.kz_ans1_sym_idx.argtypes = [u8p, i64, i32p]
                 lib.kz_ans_f2s.restype = None
                 lib.kz_ans_f2s.argtypes = [i64p, ctypes.c_int,
                                            ctypes.c_int, u8p]
@@ -426,6 +431,32 @@ def ans_dec_header(buf: bytes, nbits: int, bitpos: int, order: int):
     if rc < 0:
         raise ValueError("Invalid bitstream: incorrect ANS header")
     return int(rc), freqs.reshape(dim, 256), counts, int(lr.value)
+
+
+def alias_emit(src: np.ndarray, map16: np.ndarray):
+    """Digram substitution pass. Returns (bytes, odd_flag)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    map16 = np.ascontiguousarray(map16, np.int64)
+    dst = np.empty(len(src) + 1, np.uint8)
+    odd = ctypes.c_int(0)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.kz_alias_emit(_u8ptr(src), len(src),
+                          map16.ctypes.data_as(i64p), _u8ptr(dst),
+                          ctypes.byref(odd))
+    return dst[:n].tobytes(), bool(odd.value)
+
+
+def ans1_sym_idx(chunk: np.ndarray) -> np.ndarray:
+    """Order-1 lane-walk [steps,4] int32 table indexes."""
+    lib = _load("transforms")
+    chunk = np.ascontiguousarray(chunk, np.uint8)
+    steps = (len(chunk) & -4) >> 2
+    out = np.empty((steps, 4), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.kz_ans1_sym_idx(_u8ptr(chunk), len(chunk),
+                        out.ctypes.data_as(i32p))
+    return out
 
 
 def ans_f2s(freqs: np.ndarray, lr: int) -> np.ndarray:

@@ -1824,3 +1824,54 @@ void kz_ans_f2s(const int64_t* freqs, int dim, int lr, uint8_t* out) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Order-1 lane walk symbol indexes (entropy/ans.py _encode_chunk1):
+// lane k walks quarter k backwards over (ctx<<8|sym) pairs; final step
+// is (ctx=0, chunk[k*quarter]). out is [steps,4] int32, steps = end4/4.
+void kz_ans1_sym_idx(const uint8_t* chunk, int64_t count, int32_t* out) {
+    const int64_t end4 = count & ~int64_t(3);
+    const int64_t quarter = end4 >> 2;
+    if (quarter == 0) return;
+    for (int k = 0; k < 4; k++) {
+        const uint8_t* base = chunk + k * quarter;
+        for (int64_t t = 0; t + 1 < quarter; t++) {
+            const int64_t i = quarter - 2 - t;
+            out[t * 4 + k] = (int32_t(base[i]) << 8) | base[i + 1];
+        }
+        out[(quarter - 1) * 4 + k] = base[0];
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Alias-codec digram substitution pass (kanzi_tpu/transform/alias.py
+// forward; reference src/transform/AliasCodec.cpp). map16[pair] is the
+// alias byte or -1. Returns output length; *odd_out set when a trailing
+// unpaired byte was appended (caller flips header byte 1).
+int64_t kz_alias_emit(const uint8_t* src, int64_t count,
+                      const int64_t* map16, uint8_t* dst, int* odd_out) {
+    int64_t o = 0, i = 0;
+    const int64_t end = count - 1;
+    while (i < end) {
+        const int pair = (int(src[i]) << 8) | src[i + 1];
+        const int64_t a = map16[pair];
+        if (a >= 0) {
+            dst[o++] = uint8_t(a);
+            i += 2;
+        } else {
+            dst[o++] = src[i++];
+        }
+    }
+    *odd_out = 0;
+    if (i != count) {
+        *odd_out = 1;
+        dst[o++] = src[i];
+    }
+    return o;
+}
+
+}  // extern "C"
