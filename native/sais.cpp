@@ -28,7 +28,8 @@ inline bool is_lms(const uint8_t* t, int64_t i) {
 
 // SA-IS over s[0..n-1], alphabet [0..K), s[n-1] must be the unique
 // smallest character (sentinel). s is MUTATED: the S/L type bit is
-// packed into bit 30 of each element so the induce scans touch one
+// packed into the second-highest bit of each element so the induce
+// scans touch one
 // random cache line per step instead of two (s[j] and t[j] live in
 // different lines; the chase is miss-bound on this host).
 template <typename T>
