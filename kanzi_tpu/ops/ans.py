@@ -622,14 +622,16 @@ def _ans0_decode_kernel(vt4_ref, fc_ref, st_ref, pay_ref, out_ref, cur_ref,
         st3 = jnp.where(flag, (st2 << 16) | pairs.astype(jnp.uint32), st2)
         cur = cur + fl[0] + fl[1] + fl[2] + fl[3]
 
-        # round-robin window refill, one row every 2 steps: a row is
-        # visited every 2g steps and consumes <= 8g < 128 pairs between
-        # visits, so rel stays < 256. when-conditions are evaluated every
-        # step, so the outer cond must be pure-t: the scalar read of a
-        # vector element (cur[r,0]) costs ~1 us and nesting keeps it at
-        # 1 per 2 steps instead of G per step.
+        # round-robin window refill, one row every 4 steps: a row is
+        # visited every 4g steps and consumes <= 2 pairs/step -> at most
+        # 8g = 64 pairs between visits, so rel <= 127 + 64 and the
+        # gather index rel+3 stays < 256. when-conditions are evaluated
+        # every step, so the outer cond must be pure-t: the scalar read
+        # of a vector element (cur[r,0]) costs ~1 us and dominates the
+        # step budget — nesting keeps it at 1 per 4 steps instead of G
+        # per step.
         for r in range(g):
-            @pl.when(((t & 1) == 0) & (((t >> 1) & (g - 1)) == r))
+            @pl.when(((t & 3) == 0) & (((t >> 2) & (g - 1)) == r))
             def _(r=r):
                 @pl.when(cur[r, 0] - base_ref[r, 0] >= 128)
                 def _():
