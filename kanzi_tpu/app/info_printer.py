@@ -37,9 +37,11 @@ def _json(evt: Event) -> str:
 
 class InfoPrinter:
     def __init__(self, level: int, ptype: int = COMPRESSION, out=None):
+        from kanzi_tpu.utils.printer import Printer
         self.level = level
         self.ptype = ptype
         self.out = out if out is not None else sys.stderr
+        self._printer = Printer(self.out)  # thread-safe across workers
         if ptype == COMPRESSION:
             self.thresholds = (EventType.COMPRESSION_START,
                                EventType.BEFORE_TRANSFORM,
@@ -138,7 +140,7 @@ class InfoPrinter:
         elif self.level >= 5:
             msg = _json(evt)
         if msg:
-            print(msg, file=self.out, flush=True)
+            self._printer.println(msg)
 
     # --- header rendering (decode -v3+, and the -y INFO table) ---
     @staticmethod

@@ -55,22 +55,30 @@ class FSDCodec(ByteTransform):
         count10 = count // 10
         count5 = 2 * count10
         dists = [0, 1, 2, 3, 4, 8, 16]
-        ent = []
-        histo0 = None
         s64 = src.astype(np.int64)
-        for k, d in enumerate(dists):
-            h = np.zeros(256, dtype=np.int64)
-            for blk in range(3):
-                base = count5 * (2 * blk)
-                seg = slice(base + count10, base + count5)
-                if d == 0:
-                    vals = src[seg]
-                else:
-                    vals = src[seg] ^ src[base + count10 - d:base + count5 - d]
-                h += np.bincount(vals, minlength=256)
-            if k == 0:
-                histo0 = h
-            ent.append(stats.first_order_entropy_1024(3 * count10, h))
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            h7 = native.fsd_scan(src)
+            histo0 = h7[0]
+            ent = [stats.first_order_entropy_1024(3 * count10, h7[k])
+                   for k in range(7)]
+        else:
+            ent = []
+            histo0 = None
+            for k, d in enumerate(dists):
+                h = np.zeros(256, dtype=np.int64)
+                for blk in range(3):
+                    base = count5 * (2 * blk)
+                    seg = slice(base + count10, base + count5)
+                    if d == 0:
+                        vals = src[seg]
+                    else:
+                        vals = (src[seg]
+                                ^ src[base + count10 - d:base + count5 - d])
+                    h += np.bincount(vals, minlength=256)
+                if k == 0:
+                    histo0 = h
+                ent.append(stats.first_order_entropy_1024(3 * count10, h))
         min_idx = int(np.argmin(ent))
         if ent[min_idx] >= ent[0]:
             self.ctx.put("dataType", stats.detect_simple_type(3 * count10, histo0))

@@ -106,6 +106,8 @@ def _load(name: str):
                 lib.kz_ans_dec_header.argtypes = [
                     u8p, i64, i64, ctypes.c_int, i64p, i32p,
                     ctypes.POINTER(ctypes.c_int32)]
+                lib.kz_fsd_scan.restype = None
+                lib.kz_fsd_scan.argtypes = [u8p, i64, i64p]
                 lib.kz_alias_emit.restype = i64
                 lib.kz_alias_emit.argtypes = [
                     u8p, i64, i64p, u8p, ctypes.POINTER(ctypes.c_int)]
@@ -441,6 +443,17 @@ def ans_dec_header(buf: bytes, nbits: int, bitpos: int, order: int):
     if rc < 0:
         raise ValueError("Invalid bitstream: incorrect ANS header")
     return int(rc), freqs.reshape(dim, 256), counts, int(lr.value)
+
+
+def fsd_scan(src: np.ndarray) -> np.ndarray:
+    """FSD stride-XOR histograms [7,256] int64 for strides
+    {0,1,2,3,4,8,16} over the 3 sampled sub-blocks."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    h = np.empty((7, 256), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kz_fsd_scan(_u8ptr(src), len(src), h.ctypes.data_as(i64p))
+    return h
 
 
 def alias_emit(src: np.ndarray, map16: np.ndarray):

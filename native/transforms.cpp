@@ -1875,3 +1875,31 @@ int64_t kz_alias_emit(const uint8_t* src, int64_t count,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// FSD stride-entropy scan (kanzi_tpu/transform/fsd.py forward: XOR
+// histograms for strides {0,1,2,3,4,8,16} over 3 sampled sub-blocks).
+void kz_fsd_scan(const uint8_t* src, int64_t count, int64_t* h7) {
+    const int64_t count10 = count / 10;
+    const int64_t count5 = 2 * count10;
+    const int dists[7] = {0, 1, 2, 3, 4, 8, 16};
+    memset(h7, 0, 7 * 256 * sizeof(int64_t));
+    for (int k = 0; k < 7; k++) {
+        const int d = dists[k];
+        int64_t* h = h7 + k * 256;
+        for (int blk = 0; blk < 3; blk++) {
+            const int64_t base = count5 * (2 * blk);
+            const int64_t s0 = base + count10;
+            const int64_t s1 = base + count5;
+            if (d == 0) {
+                for (int64_t i = s0; i < s1; i++) h[src[i]]++;
+            } else {
+                for (int64_t i = s0; i < s1; i++)
+                    h[src[i] ^ src[i - d]]++;
+            }
+        }
+    }
+}
+
+}  // extern "C"
