@@ -10,7 +10,8 @@ and small inputs.
 
 Layout:
 - ops.ans       interleaved 4-lane rANS order-0 chunk encode/decode
-- ops.huffman   4-fragment canonical Huffman chunk encode
+- ops.ans1      order-1 rANS encode (MXU bilinear gather + lane scan)
+- ops.huffman   4-fragment canonical Huffman chunk encode/decode
 - ops.bwt       suffix-array (prefix doubling) BWT forward
 """
 
