@@ -22,6 +22,14 @@
 
 namespace {
 
+#if defined(__GNUC__)
+#define KZ_PREFETCH(p) __builtin_prefetch((const void*)(p))
+#define KZ_PREFETCHW(p) __builtin_prefetch((const void*)(p), 1)
+#else
+#define KZ_PREFETCH(p)
+#define KZ_PREFETCHW(p)
+#endif
+
 inline bool is_lms(const uint8_t* t, int64_t i) {
     return i > 0 && t[i] && !t[i - 1];
 }
@@ -29,25 +37,28 @@ inline bool is_lms(const uint8_t* t, int64_t i) {
 // SA-IS over s[0..n-1], alphabet [0..K), s[n-1] must be the unique
 // smallest character (sentinel). s is MUTATED: the S/L type bit is
 // packed into the second-highest bit of each element so the induce
-// scans touch one
-// random cache line per step instead of two (s[j] and t[j] live in
-// different lines; the chase is miss-bound on this host).
+// scans touch one random cache line per step instead of two (s[j] and
+// t[j] live in different lines; the chase is miss-bound on this host).
 template <typename T>
 void sais(T* s, int32_t* sa, int64_t n, int64_t K,
           uint8_t* t /* scratch n bytes */) {
     if (n == 1) { sa[0] = 0; return; }
-    // classify S(1)/L(0)
-    t[n - 1] = 1;
-    for (int64_t i = n - 2; i >= 0; i--)
-        t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
-
-    std::vector<int32_t> counts(K, 0), bkt(K);
-    for (int64_t i = 0; i < n; i++) counts[s[i]]++;
-
     constexpr T TBIT = T(1) << (8 * sizeof(T) - 2);
     constexpr T TMASK = TBIT - 1;
-    for (int64_t i = 0; i < n; i++)
-        if (t[i]) s[i] |= TBIT;
+    // classify S(1)/L(0), histogram, and pack the type bit - one
+    // backward pass instead of three
+    std::vector<int32_t> counts(K, 0), bkt(K);
+    t[n - 1] = 1;
+    counts[s[n - 1]]++;
+    s[n - 1] |= TBIT;
+    for (int64_t i = n - 2; i >= 0; i--) {
+        const T c = s[i];
+        counts[c]++;
+        const T next = s[i + 1] & TMASK;
+        const uint8_t ty = (c < next || (c == next && t[i + 1])) ? 1 : 0;
+        t[i] = ty;
+        if (ty) s[i] = c | TBIT;
+    }
 
     auto bucket_ends = [&] {
         int32_t sum = 0;
@@ -57,10 +68,24 @@ void sais(T* s, int32_t* sa, int64_t n, int64_t K,
         int32_t sum = 0;
         for (int64_t c = 0; c < K; c++) { bkt[c] = sum; sum += counts[c]; }
     };
-    auto induce = [&] {
+    // The induce scans are miss-bound: each step loads s[sa[i]-1] at a
+    // random address. Prefetching that load PD iterations ahead keeps
+    // more misses in flight. A stale/negative slot issues a harmless
+    // hint.
+    constexpr int64_t PD = 24;
+    // mark=true (stage-1 only): the S-scan stores ~j instead of j when j
+    // is LMS, so the LMS compaction after induce() is a sequential sign
+    // test instead of n random t[] probes. Flagged entries read back
+    // inside the same scan are decoded with ~ (note ~(-1) == 0, so empty
+    // slots fall into the pos==0 skip naturally).
+    auto induce = [&](bool mark) {
         // L-type left-to-right from bucket starts
         bucket_starts();
         for (int64_t i = 0; i < n; i++) {
+            if (i + PD < n) {
+                const int32_t jp = sa[i + PD];
+                if (jp > 0) KZ_PREFETCH(s + (jp - 1));
+            }
             const int32_t j = sa[i] - 1;
             if (sa[i] > 0) {
                 const T v = s[j];
@@ -69,11 +94,35 @@ void sais(T* s, int32_t* sa, int64_t n, int64_t K,
         }
         // S-type right-to-left from bucket ends
         bucket_ends();
-        for (int64_t i = n - 1; i >= 0; i--) {
-            const int32_t j = sa[i] - 1;
-            if (sa[i] > 0) {
-                const T v = s[j];
-                if (v & TBIT) sa[--bkt[v & TMASK]] = j;
+        if (mark) {
+            for (int64_t i = n - 1; i >= 0; i--) {
+                if (i - PD >= 0) {
+                    const int32_t vp = sa[i - PD];
+                    const int32_t pp = vp < 0 ? ~vp : vp;
+                    if (pp > 0) KZ_PREFETCH(s + (pp - 1));
+                }
+                const int32_t vraw = sa[i];
+                const int32_t pos = vraw < 0 ? ~vraw : vraw;
+                if (pos > 0) {
+                    const int32_t j = pos - 1;
+                    const T v = s[j];
+                    if (v & TBIT) {
+                        const bool lms = j > 0 && !(s[j - 1] & TBIT);
+                        sa[--bkt[v & TMASK]] = lms ? ~j : j;
+                    }
+                }
+            }
+        } else {
+            for (int64_t i = n - 1; i >= 0; i--) {
+                if (i - PD >= 0) {
+                    const int32_t jp = sa[i - PD];
+                    if (jp > 0) KZ_PREFETCH(s + (jp - 1));
+                }
+                const int32_t j = sa[i] - 1;
+                if (sa[i] > 0) {
+                    const T v = s[j];
+                    if (v & TBIT) sa[--bkt[v & TMASK]] = j;
+                }
             }
         }
     };
@@ -82,37 +131,53 @@ void sais(T* s, int32_t* sa, int64_t n, int64_t K,
     std::memset(sa, -1, n * sizeof(int32_t));
     bucket_ends();
     for (int64_t i = 1; i < n; i++)
-        if (is_lms(t, i)) sa[--bkt[s[i] & TMASK]] = int32_t(i);
-    induce();
+        if (t[i] && !t[i - 1]) sa[--bkt[s[i] & TMASK]] = int32_t(i);
+    induce(true);
 
-    // compact sorted LMS positions into sa[0..n1)
+    // compact flagged (LMS) positions into sa[0..n1). The sentinel
+    // (pos n-1, the unique smallest suffix) sits unflagged at sa[0]:
+    // nothing re-places it during the S-scan since it has no successor.
     int64_t n1 = 0;
-    for (int64_t i = 0; i < n; i++)
-        if (is_lms(t, sa[i])) sa[n1++] = sa[i];
+    sa[n1++] = sa[0];
+    for (int64_t i = 1; i < n; i++) {
+        const int32_t v = sa[i];
+        if (v < 0) sa[n1++] = ~v;
+    }
 
-    // name LMS substrings; names stored at sa[n1 + pos/2]
+    // name LMS substrings; names stored at sa[n1 + pos/2].
+    // First store each LMS substring LENGTH in its name slot (one
+    // sequential backward pass over t), so naming is a length check +
+    // memcmp of packed symbol|type words - no random t[] probes at all.
+    // (Equal symbols + equal length forces equal interior types: the
+    // rightmost element of an LMS substring is S by definition and ties
+    // propagate right-to-left from it.)
     std::memset(sa + n1, -1, (n - n1) * sizeof(int32_t));
+    {
+        int64_t last = -1;
+        for (int64_t i = n - 1; i >= 1; i--)
+            if (t[i] && !t[i - 1]) {
+                sa[n1 + (i >> 1)] = (last < 0) ? 1 : int32_t(last - i + 1);
+                last = i;
+            }
+    }
     int64_t name = 0;
     int64_t prev = -1;
+    int32_t prevlen = 0;
     for (int64_t i = 0; i < n1; i++) {
-        const int64_t pos = sa[i];
-        bool diff = false;
-        if (prev < 0) {
-            diff = true;
-        } else {
-            for (int64_t d = 0;; d++) {
-                if (d > 0 && (is_lms(t, pos + d) || is_lms(t, prev + d))) {
-                    diff = !(is_lms(t, pos + d) && is_lms(t, prev + d));
-                    break;
-                }
-                // packed compare: symbol AND type bit in one load
-                if (s[pos + d] != s[prev + d]) {
-                    diff = true;
-                    break;
-                }
-            }
+        if (i + 8 < n1) {
+            const int64_t pp = sa[i + 8];
+            KZ_PREFETCH(s + pp);
+            KZ_PREFETCH(sa + n1 + (pp >> 1));
         }
-        if (diff) { name++; prev = pos; }
+        const int64_t pos = sa[i];
+        const int32_t len = sa[n1 + (pos >> 1)];
+        if (prev < 0 || len != prevlen
+            || std::memcmp(s + pos, s + prev,
+                           size_t(len) * sizeof(T)) != 0) {
+            name++;
+            prev = pos;
+            prevlen = len;
+        }
         sa[n1 + (pos >> 1)] = int32_t(name - 1);
     }
     // compact names into s1 at the tail of sa
@@ -122,26 +187,30 @@ void sais(T* s, int32_t* sa, int64_t n, int64_t K,
 
     // stage 2: order LMS suffixes
     if (name < n1) {
-        sais<int32_t>(s1, sa, n1, name, t + n);  // t has 2n scratch at top level? no:
-        // NOTE: recursion classifies into the same t buffer region beyond n1
+        sais<int32_t>(s1, sa, n1, name, t + n);
+        // NOTE: recursion classifies into the same t buffer region
     } else {
         for (int64_t i = 0; i < n1; i++) sa[s1[i]] = int32_t(i);
     }
 
     // p1 = LMS positions in text order (reuse s1 storage)
     for (int64_t i = 1, j = 0; i < n; i++)
-        if (is_lms(t, i)) s1[j++] = int32_t(i);
-    for (int64_t i = 0; i < n1; i++) sa[i] = s1[sa[i]];
+        if (t[i] && !t[i - 1]) s1[j++] = int32_t(i);
+    for (int64_t i = 0; i < n1; i++) {
+        if (i + 16 < n1) KZ_PREFETCH(s1 + sa[i + 16]);
+        sa[i] = s1[sa[i]];
+    }
 
     // stage 3: induce the full SA from sorted LMS suffixes
     std::memset(sa + n1, -1, (n - n1) * sizeof(int32_t));
     bucket_ends();
     for (int64_t i = n1 - 1; i >= 0; i--) {
+        if (i - 8 >= 0) KZ_PREFETCH(s + sa[i - 8]);
         const int32_t j = sa[i];
         sa[i] = -1;
         sa[--bkt[s[j] & TMASK]] = j;
     }
-    induce();
+    induce(false);
 }
 
 }  // namespace
@@ -194,8 +263,14 @@ int kz_bwt_forward(const uint8_t* src, int64_t n, int32_t idx_count,
         indexes[(n - 1) / step] = n;
 
     out[0] = src[n - 1];
-    for (int64_t j = 0; j < p_idx; j++) out[j + 1] = src[sa[j] - 1];
-    for (int64_t j = p_idx + 1; j < n; j++) out[j] = src[sa[j] - 1];
+    for (int64_t j = 0; j < p_idx; j++) {
+        if (j + 32 < p_idx) KZ_PREFETCH(src + sa[j + 32] - 1);
+        out[j + 1] = src[sa[j] - 1];
+    }
+    for (int64_t j = p_idx + 1; j < n; j++) {
+        if (j + 32 < n) KZ_PREFETCH(src + sa[j + 32] - 1);
+        out[j] = src[sa[j] - 1];
+    }
     return 0;
 }
 
