@@ -148,6 +148,19 @@ class ANSRangeEncoder(EntropyEncoder):
             start = self._encode_device1(block, count)
             if start >= count:
                 return count
+        if start < count:
+            from kanzi_tpu.utils import native
+            if native.transforms_available():
+                # whole-block native path: all chunk headers + payloads
+                # in one call (bit-exact with the loop below)
+                if self.order == 0:
+                    data, nb = native.ans0_enc_block(block[start:],
+                                                    self.chunk_size, lr)
+                else:
+                    data, nb = native.ans1_enc_block(block[start:],
+                                                    self.chunk_size, lr)
+                self.obs._append_bit_run(data, nb)
+                return count
         chunks = []
         while start < count:
             size = min(self.chunk_size, count - start)
@@ -428,6 +441,15 @@ class ANSRangeDecoder(EntropyDecoder):
         out = np.empty(count, dtype=np.uint8)
         device_ok = (self.order == 0 and self.chunk_size == 16384
                      and count >= 16384 and _device_ans_enabled())
+        if not device_ok:
+            from kanzi_tpu.utils import native
+            if native.transforms_available():
+                fn = (native.ans0_dec_block if self.order == 0
+                      else native.ans1_dec_block)
+                pos, dec = fn(self.ibs._data, self.ibs._nbits,
+                              self.ibs._pos, count, self.chunk_size)
+                self.ibs.seek(pos)
+                return dec
         queued = []  # (start, freqs[256], states[4], payload bytes, sz)
         start = 0
         while start < count:

@@ -296,11 +296,15 @@ class EXECodec(ByteTransform):
         dt = self.ctx.get_int("dataType", stats.UNDEFINED)
         if dt not in (stats.UNDEFINED, stats.EXE, stats.BIN):
             return None
-        data = src.tolist()
-        mode, code_start, code_end = detect_type(data, count)
+        # bytes gives O(1)-ish conversion and Python-int indexing for the
+        # header parse; the full tolist is deferred until a rewrite
+        # actually runs (most blocks are NOT_EXE and skip it entirely)
+        buf = src.tobytes()
+        mode, code_start, code_end = detect_type(buf, count)
         if mode & NOT_EXE:
             self.ctx.put("dataType", mode & MASK_DT)
             return None
+        data = src.tolist()
         mode &= ~MASK_DT
         res = None
         if mode == X86:

@@ -359,13 +359,15 @@ class _ROLZCodec1:
     def inverse(self, src: np.ndarray) -> np.ndarray:
         from kanzi_tpu.entropy.ans import ANSRangeDecoder
         count = len(src)
-        data = src.tolist()
-        end = int.from_bytes(bytes(data[0:4]), "big")
+        buf = src.tobytes()
+        from kanzi_tpu.utils import native as _nat0
+        data = buf if _nat0.transforms_available() else src.tolist()
+        end = int.from_bytes(buf[0:4], "big")
         if end <= 4:
             raise ValueError("ROLZ: invalid decoded size")
         dst_end = end - 4
         src_idx = 5
-        flags = data[4]
+        flags = buf[4]
         lit_order = flags & 1
         min_match = MIN_MATCH3
         delta = 2
@@ -394,12 +396,17 @@ class _ROLZCodec1:
         start_chunk = 0
         out = bytearray()
 
+        ibs_all = BitReader(buf) if use_native else None
         while start_chunk < dst_end:
             end_chunk = min(start_chunk + size_chunk, dst_end)
             size_chunk = end_chunk - start_chunk
             if src_idx >= count:
                 raise ValueError("ROLZ: truncated stream")
-            ibs = BitReader(bytes(data[src_idx:count]))
+            if use_native:
+                ibs = ibs_all
+                ibs.seek(8 * src_idx)
+            else:
+                ibs = BitReader(bytes(data[src_idx:count]))
             lit_len_total = ibs.read_bits(32)
             tk_len = ibs.read_bits(32)
             mlen_len = ibs.read_bits(32)
@@ -418,7 +425,10 @@ class _ROLZCodec1:
             lens_np = dec2.decode(mlen_len)
             midx_np = dec2.decode(midx_len)
             dec2.dispose()
-            src_idx += (ibs.tell() + 7) >> 3
+            if use_native:
+                src_idx = (ibs.tell() + 7) >> 3
+            else:
+                src_idx += (ibs.tell() + 7) >> 3
 
             if use_native:
                 if tk_len == 0:

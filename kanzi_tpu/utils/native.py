@@ -126,6 +126,18 @@ def _load(name: str):
                 lib.kz_zrlt_inverse.argtypes = [u8p, i64, u8p, i64]
                 lib.kz_hist_o01.restype = None
                 lib.kz_hist_o01.argtypes = [u8p, i64, i64p, i64p]
+                lib.kz_ans0_enc_block.restype = i64
+                lib.kz_ans0_enc_block.argtypes = [u8p, i64, i64,
+                                                  ctypes.c_int, u8p, i64]
+                lib.kz_ans0_dec_block.restype = i64
+                lib.kz_ans0_dec_block.argtypes = [u8p, i64, i64, i64,
+                                                  i64, u8p, i64p]
+                lib.kz_ans1_enc_block.restype = i64
+                lib.kz_ans1_enc_block.argtypes = [u8p, i64, i64,
+                                                  ctypes.c_int, u8p, i64]
+                lib.kz_ans1_dec_block.restype = i64
+                lib.kz_ans1_dec_block.argtypes = [u8p, i64, i64, i64,
+                                                  i64, u8p, i64p]
                 lib.kz_fsd_forward_delta.restype = i64
                 lib.kz_fsd_forward_delta.argtypes = [u8p, i64,
                                                      ctypes.c_int, i64, u8p]
@@ -445,6 +457,74 @@ def ans_dec_header(buf: bytes, nbits: int, bitpos: int, order: int):
     return int(rc), freqs.reshape(dim, 256), counts, int(lr.value)
 
 
+def ans0_enc_block(block: np.ndarray, chunk_size: int, lr: int):
+    """Whole-block order-0 ANS encode (headers + payloads for every
+    chunk). Returns (bitrun bytes, nbits). Bit-exact with the per-chunk
+    Python path (kanzi_tpu/entropy/ans.py encode order 0)."""
+    lib = _load("transforms")
+    block = np.ascontiguousarray(block, np.uint8)
+    cap = 2 * len(block) + 4096 * (len(block) // chunk_size + 2)
+    out = np.empty(cap, np.uint8)
+    nbits = lib.kz_ans0_enc_block(_u8ptr(block), len(block), chunk_size,
+                                  lr, _u8ptr(out), cap)
+    if nbits < 0:
+        raise RuntimeError("ANS block encode: output capacity exceeded")
+    return out[:(int(nbits) + 7) >> 3].tobytes(), int(nbits)
+
+
+def ans0_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
+                   chunk_size: int):
+    """Whole-block order-0 ANS decode. Returns (newpos, out bytes
+    ndarray). Raises on malformed data."""
+    from kanzi_tpu.bitstream.reader import BitStreamError
+    lib = _load("transforms")
+    out = np.empty(count, np.uint8)
+    decoded = ctypes.c_int64(0)
+    rc = lib.kz_ans0_dec_block(
+        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        nbits, bitpos, count, chunk_size, _u8ptr(out),
+        ctypes.byref(decoded))
+    if rc == -2:
+        raise BitStreamError("read past end of bitstream")
+    if rc < 0:
+        raise ValueError("Invalid bitstream: bad ANS chunk")
+    return int(rc), out[:decoded.value]
+
+def ans1_enc_block(block: np.ndarray, chunk_size: int, lr: int):
+    """Whole-block order-1 ANS encode (256-context headers + quarter-
+    stride 4-lane payloads for every chunk). Returns (bitrun bytes,
+    nbits); bit-exact with the per-chunk Python path."""
+    lib = _load("transforms")
+    block = np.ascontiguousarray(block, np.uint8)
+    n_chunks = len(block) // chunk_size + 2
+    cap = 2 * len(block) + 300000 * n_chunks
+    out = np.empty(cap, np.uint8)
+    nbits = lib.kz_ans1_enc_block(_u8ptr(block), len(block), chunk_size,
+                                  lr, _u8ptr(out), cap)
+    if nbits < 0:
+        raise RuntimeError("ANS1 block encode: output capacity exceeded")
+    return out[:(int(nbits) + 7) >> 3].tobytes(), int(nbits)
+
+
+def ans1_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
+                   chunk_size: int):
+    """Whole-block order-1 ANS decode. Returns (newpos, out ndarray)."""
+    from kanzi_tpu.bitstream.reader import BitStreamError
+    lib = _load("transforms")
+    out = np.empty(count, np.uint8)
+    decoded = ctypes.c_int64(0)
+    rc = lib.kz_ans1_dec_block(
+        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        nbits, bitpos, count, chunk_size, _u8ptr(out),
+        ctypes.byref(decoded))
+    if rc == -2:
+        raise BitStreamError("read past end of bitstream")
+    if rc < 0:
+        raise ValueError("Invalid bitstream: bad ANS chunk")
+    return int(rc), out[:decoded.value]
+
+
+
 def fsd_scan(src: np.ndarray) -> np.ndarray:
     """FSD stride-XOR histograms [7,256] int64 for strides
     {0,1,2,3,4,8,16} over the 3 sampled sub-blocks."""
@@ -674,9 +754,12 @@ def rolz1_rebuild(lit: np.ndarray, tk: np.ndarray, lens: np.ndarray,
     return int(rc)
 
 
-def exe_detect_scan(src: np.ndarray, code_start: int, code_end: int):
-    """Returns (histo int64[256], jumps_x86, jumps_arm)."""
+def exe_detect_scan(src, code_start: int, code_end: int):
+    """Returns (histo int64[256], jumps_x86, jumps_arm). src may be an
+    ndarray, bytes, or a list of ints."""
     lib = _load("transforms")
+    if isinstance(src, (bytes, bytearray)):
+        src = np.frombuffer(src, np.uint8)
     src = np.ascontiguousarray(src, np.uint8)
     histo = np.zeros(256, np.int64)
     jumps = np.zeros(2, np.int64)

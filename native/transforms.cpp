@@ -1903,3 +1903,543 @@ void kz_fsd_scan(const uint8_t* src, int64_t count, int64_t* h7) {
 }
 
 }  // extern "C"
+
+namespace {
+
+constexpr int64_t KZ_ANS_TOP = 1 << 15;
+
+// Emit one context's ANS header (alphabet bitmap + grouped log-packed
+// freqs-1) into an in-progress writer — same bits as kz_ans_enc_header.
+inline void ans_header_put(HBitW& w, const int64_t* freqs, int lr) {
+    int alpha[256];
+    int count = 0;
+    for (int s = 0; s < 256; s++)
+        if (freqs[s]) alpha[count++] = s;
+    if (count == 0) {
+        w.put(0, 1); w.put(1, 1);
+    } else if (count == 256) {
+        w.put(0, 1); w.put(0, 1);
+    } else {
+        w.put(1, 1);
+        uint8_t masks[32] = {0};
+        for (int i = 0; i < count; i++)
+            masks[alpha[i] >> 3] |= uint8_t(1 << (alpha[i] & 7));
+        const int last_mask = alpha[count - 1] >> 3;
+        w.put(uint64_t(last_mask), 5);
+        for (int i = 0; i <= last_mask; i++) w.put(masks[i], 8);
+    }
+    if (count <= 1) return;
+    const int chk = count >= 64 ? 8 : 6;
+    const int llr = hbitlen(uint32_t(lr));
+    for (int i = 1; i < count; i += chk) {
+        const int endj = (i + chk < count) ? i + chk : count;
+        int64_t mx = 0;
+        for (int j = i; j < endj; j++)
+            if (freqs[alpha[j]] - 1 > mx) mx = freqs[alpha[j]] - 1;
+        const int log_max = (mx == 0) ? 0 : hbitlen(uint32_t(mx));
+        w.put(uint64_t(log_max), llr);
+        if (log_max)
+            for (int j = i; j < endj; j++)
+                w.put(uint64_t(freqs[alpha[j]] - 1), log_max);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Whole-block order-0 ANS codec (kanzi_tpu/entropy/ans.py encode()/
+// decode(), order 0; reference src/entropy/ANSRangeEncoder.cpp:194-261,
+// ANSRangeDecoder.cpp:240-277). One call handles every chunk of a block
+// - header normalize/emit, 4-lane backward payload walk, varint/state
+// framing - replacing the per-16KiB-chunk Python orchestration.
+// ---------------------------------------------------------------------
+
+// Encode: returns total bits written to out, or -1 if out_cap (bytes)
+// would be exceeded. Bit-exact with the Python per-chunk path.
+int64_t kz_ans0_enc_block(const uint8_t* src, int64_t count,
+                          int64_t chunk_size, int lr, uint8_t* out,
+                          int64_t out_cap) {
+    HBitW w{out};
+    const int64_t scale = int64_t(1) << lr;
+    std::vector<uint8_t> pay;
+    int64_t xmax[256], bias[256], cmpl[256];
+    uint64_t inv_f[256], inv_s[256];
+    int64_t freqs[256];
+    for (int64_t start = 0; start < count; start += chunk_size) {
+        const int64_t csize =
+            (chunk_size < count - start) ? chunk_size : count - start;
+        const uint8_t* chunk = src + start;
+        // capacity guard: worst case this chunk emits 2*csize payload
+        // bytes + ~1.1 KiB header/framing
+        if (w.nbytes + 2 * csize + 2048 > out_cap) return -1;
+        w.put(uint64_t(lr - 8), 3);
+        // histogram + normalize (exact EntropyUtils semantics)
+        std::memset(freqs, 0, sizeof(freqs));
+        for (int64_t i = 0; i < csize; i++) freqs[chunk[i]]++;
+        normalize_freqs(freqs, 256, csize, scale);
+        ans_header_put(w, freqs, lr);
+        int acount = 0;
+        for (int s = 0; s < 256; s++)
+            if (freqs[s]) acount++;
+        if (acount <= 1) continue;  // header-only chunk
+        // per-symbol encode constants (_sym_encode_tables)
+        {
+            int64_t cum = 0;
+            for (int s = 0; s < 256; s++) {
+                int64_t f = freqs[s];
+                if (f > scale - 1) f = scale - 1;
+                xmax[s] = ((KZ_ANS_TOP >> lr) << 16) * f;
+                cmpl[s] = scale - f;
+                if (f < 2) {
+                    inv_f[s] = 0xFFFFFFFFull;
+                    inv_s[s] = 32;
+                    bias[s] = cum + scale - 1;
+                } else {
+                    int shift = 0;          // bitlen(f-1)
+                    int64_t v = f - 1;
+                    while (v) { shift++; v >>= 1; }
+                    inv_f[s] = ((1ull << (shift + 31)) + uint64_t(f) - 1)
+                               / uint64_t(f) & 0xFFFFFFFFull;
+                    inv_s[s] = uint64_t(32 + shift - 1);
+                    bias[s] = cum;
+                }
+                cum += f;
+            }
+        }
+        // 4-lane backward walk; renorm bytes written descending
+        const int64_t end4 = csize & ~int64_t(3);
+        if (int64_t(pay.size()) < 2 * csize + 8) pay.resize(2 * csize + 8);
+        int64_t wp = int64_t(pay.size());
+        int64_t st[4] = {KZ_ANS_TOP, KZ_ANS_TOP, KZ_ANS_TOP, KZ_ANS_TOP};
+        for (int64_t base = end4 - 1; base >= 3; base -= 4) {
+            for (int lane = 0; lane < 4; lane++) {
+                const int s = chunk[base - lane];
+                int64_t x = st[lane];
+                if (x >= xmax[s]) {
+                    pay[--wp] = uint8_t(x & 0xFF);
+                    pay[--wp] = uint8_t((x >> 8) & 0xFF);
+                    x >>= 16;
+                }
+                const int64_t q =
+                    int64_t((uint64_t(x) * inv_f[s]) >> inv_s[s]);
+                st[lane] = x + bias[s] + q * cmpl[s];
+            }
+        }
+        const int64_t renorm = int64_t(pay.size()) - wp;
+        const int64_t tail = csize - end4;
+        varint_put(w, uint32_t(renorm + tail));
+        for (int lane = 0; lane < 4; lane++)
+            w.put(uint64_t(st[lane]) & 0xFFFFFFFFull, 32);
+        for (int64_t i = wp; i < int64_t(pay.size()); i++)
+            w.put(pay[i], 8);
+        for (int64_t i = end4; i < csize; i++) w.put(chunk[i], 8);
+    }
+    return w.finish();
+}
+
+// Decode a whole order-0 ANS block: all chunks, headers + payloads.
+// buf/nbits/pos: bitstream; count: decoded byte budget; out: count
+// bytes. Returns the new bit position; *decoded_out = bytes produced
+// (an all-empty-alphabet header truncates like the Python path).
+// Negative return: -2 bit overrun, -4 invalid data.
+int64_t kz_ans0_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
+                          int64_t count, int64_t chunk_size,
+                          uint8_t* out, int64_t* decoded_out) {
+    std::vector<uint8_t> f2s;
+    std::vector<uint8_t> payload;
+    int64_t freqs[256], cum[256];
+    int64_t start = 0;
+    HBitR r{buf, nbits, pos};
+    while (start < count) {
+        const int64_t csize =
+            (chunk_size < count - start) ? chunk_size : count - start;
+        // header (dim=1)
+        const int lr = 8 + int(r.bits(3));
+        if (r.err) return -2;
+        if (lr > 15) return -4;
+        const int64_t scale = int64_t(1) << lr;
+        const int llr = hbitlen(uint32_t(lr));
+        int alpha[256];
+        int acount = 0;
+        std::memset(freqs, 0, sizeof(freqs));
+        if (r.bit() == 0) {                  // FULL_ALPHABET
+            if (r.bit() == 0) {              // ALPHABET_256
+                acount = 256;
+                for (int i = 0; i < 256; i++) alpha[i] = i;
+            }
+        } else {
+            const int last_mask = int(r.bits(5));
+            for (int i = 0; i <= last_mask; i++) {
+                const uint8_t m = uint8_t(r.bits(8));
+                for (int j = 0; j < 8; j++)
+                    if (m & (1 << j)) alpha[acount++] = 8 * i + j;
+            }
+        }
+        if (r.err) return -2;
+        if (acount == 0) { count = start; break; }
+        if (acount > 1) {
+            int64_t s = 0;
+            const int chk = acount >= 64 ? 8 : 6;
+            for (int i = 1; i < acount; i += chk) {
+                const int log_max = int(r.bits(llr));
+                if (r.err) return -2;
+                if (log_max > lr) return -4;
+                const int endj = (i + chk < acount) ? i + chk : acount;
+                for (int j = i; j < endj; j++) {
+                    const int64_t f =
+                        (log_max == 0) ? 1 : int64_t(r.bits(log_max)) + 1;
+                    if (r.err) return -2;
+                    if (f >= scale) return -4;
+                    freqs[alpha[j]] = f;
+                    s += f;
+                }
+            }
+            if (scale <= s) return -4;
+            freqs[alpha[0]] = scale - s;
+        } else {
+            // single-symbol chunk: fill and continue (no payload)
+            std::memset(out + start, alpha[0], size_t(csize));
+            start += csize;
+            continue;
+        }
+        // clamped freq/cum + freq->symbol map
+        {
+            int64_t c = 0;
+            for (int s = 0; s < 256; s++) {
+                int64_t f = freqs[s];
+                if (f > scale - 1) f = scale - 1;
+                freqs[s] = f;
+                cum[s] = c;
+                c += f;
+            }
+        }
+        if (int64_t(f2s.size()) < scale) f2s.resize(scale);
+        {
+            int64_t p = 0;
+            for (int s = 0; s < 256 && p < scale; s++) {
+                int64_t f = freqs[s];
+                if (f > scale - p) f = scale - p;
+                std::memset(f2s.data() + p, s, size_t(f));
+                p += f;
+            }
+            if (p < scale) std::memset(f2s.data() + p, 0, size_t(scale - p));
+        }
+        // framing: varint payload size + 4x32b states + payload bytes
+        const int64_t sz = varint_get(r);
+        if (r.err) return -2;
+        if (sz < 0 || sz >= (int64_t(1) << 27)) return -4;
+        int64_t st[4];
+        for (int lane = 0; lane < 4; lane++) {
+            st[lane] = int64_t(r.bits(32));
+            if (r.err) return -2;
+        }
+        if (int64_t(payload.size()) < sz + 2) payload.resize(sz + 2);
+        if (r.pos + 8 * sz > nbits) return -2;
+        if ((r.pos & 7) == 0) {
+            std::memcpy(payload.data(), buf + (r.pos >> 3), size_t(sz));
+            r.pos += 8 * sz;
+        } else {
+            for (int64_t i = 0; i < sz; i++)
+                payload[i] = uint8_t(r.bits(8));
+        }
+        payload[sz] = 0;
+        payload[sz + 1] = 0;
+        // 4-lane forward walk
+        const int64_t mask = scale - 1;
+        const int64_t count4 = csize & ~int64_t(3);
+        int64_t cursor = 0;
+        uint8_t* o = out + start;
+        const uint8_t* f2sp = f2s.data();
+        const uint8_t* pp = payload.data();
+        for (int64_t t = 0; t < count4; t += 4) {
+            for (int lane = 3; lane >= 0; lane--) {
+                int64_t s = st[lane];
+                const int cur = f2sp[s & mask];
+                o[t + (3 - lane)] = uint8_t(cur);
+                s = freqs[cur] * (s >> lr) + (s & mask) - cum[cur];
+                if (s < KZ_ANS_TOP) {
+                    if (cursor > sz) return -4;  // malformed: past pad
+                    s = (s << 16) | (int64_t(pp[cursor]) << 8)
+                      | pp[cursor + 1];
+                    cursor += 2;
+                }
+                st[lane] = s;
+            }
+        }
+        for (int64_t i = count4; i < csize; i++) {
+            if (cursor >= sz + 2) return -4;
+            o[i] = pp[cursor++];
+        }
+        if (cursor != sz) return -4;
+        start += csize;
+    }
+    *decoded_out = count;
+    return r.pos;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Whole-block order-1 ANS codec (kanzi_tpu/entropy/ans.py encode()/
+// decode(), order 1; reference ANSRangeEncoder.cpp order-1 paths).
+// One call per block: 4-quarter order-1 histogram, per-context
+// normalize + header, 4-lane backward walk over quarter strides,
+// varint/state framing. Bit-exact with the Python per-chunk path.
+// ---------------------------------------------------------------------
+
+int64_t kz_ans1_enc_block(const uint8_t* src, int64_t count,
+                          int64_t chunk_size, int lr, uint8_t* out,
+                          int64_t out_cap) {
+    HBitW w{out};
+    const int64_t scale = int64_t(1) << lr;
+    std::vector<int64_t> hist(65536), xmax(65536), bias(65536),
+        cmpl(65536);
+    std::vector<uint64_t> inv_f(65536), inv_s(65536);
+    std::vector<uint8_t> pay;
+    for (int64_t start = 0; start < count; start += chunk_size) {
+        const int64_t csize =
+            (chunk_size < count - start) ? chunk_size : count - start;
+        const uint8_t* chunk = src + start;
+        if (w.nbytes + 2 * csize + 300000 > out_cap) return -1;
+        w.put(uint64_t(lr - 8), 3);
+        // 4-quarter order-1 histogram, prev=0 seeded per quarter
+        std::memset(hist.data(), 0, 65536 * sizeof(int64_t));
+        {
+            const int64_t quarter = csize >> 2;
+            if (quarter == 0) {
+                for (int64_t i = 0; i + 1 < csize; i++)
+                    hist[int64_t(chunk[i]) * 256 + chunk[i + 1]]++;
+                if (csize > 0) hist[chunk[0]]++;
+            } else {
+                for (int k = 0; k < 4; k++) {
+                    const uint8_t* part = chunk + k * quarter;
+                    for (int64_t i = 0; i + 1 < quarter; i++)
+                        hist[int64_t(part[i]) * 256 + part[i + 1]]++;
+                    hist[part[0]]++;
+                }
+            }
+        }
+        // per-context normalize + header
+        for (int k = 0; k < 256; k++) {
+            int64_t* row = hist.data() + int64_t(k) * 256;
+            int64_t total = 0;
+            for (int i = 0; i < 256; i++) total += row[i];
+            if (total == 0) {
+                w.put(0, 1); w.put(1, 1);   // empty alphabet
+                continue;
+            }
+            normalize_freqs(row, 256, total, scale);
+            ans_header_put(w, row, lr);
+        }
+        // per-(ctx,sym) encode constants
+        for (int k = 0; k < 256; k++) {
+            const int64_t* row = hist.data() + int64_t(k) * 256;
+            int64_t cum = 0;
+            for (int s = 0; s < 256; s++) {
+                const int64_t j = int64_t(k) * 256 + s;
+                int64_t f = row[s];
+                if (f > scale - 1) f = scale - 1;
+                xmax[j] = ((KZ_ANS_TOP >> lr) << 16) * f;
+                cmpl[j] = scale - f;
+                if (f < 2) {
+                    inv_f[j] = 0xFFFFFFFFull;
+                    inv_s[j] = 32;
+                    bias[j] = cum + scale - 1;
+                } else {
+                    int shift = 0;
+                    int64_t v = f - 1;
+                    while (v) { shift++; v >>= 1; }
+                    inv_f[j] = ((1ull << (shift + 31)) + uint64_t(f) - 1)
+                               / uint64_t(f) & 0xFFFFFFFFull;
+                    inv_s[j] = uint64_t(32 + shift - 1);
+                    bias[j] = cum;
+                }
+                cum += f;
+            }
+        }
+        // 4-lane backward walk: lane k covers quarter k, last step uses
+        // ctx 0 with the quarter's first byte (_encode_chunk1 /
+        // kz_ans1_sym_idx ordering)
+        const int64_t end4 = csize & ~int64_t(3);
+        const int64_t quarter = end4 >> 2;
+        if (int64_t(pay.size()) < 2 * csize + 8) pay.resize(2 * csize + 8);
+        int64_t wp = int64_t(pay.size());
+        int64_t st[4] = {KZ_ANS_TOP, KZ_ANS_TOP, KZ_ANS_TOP, KZ_ANS_TOP};
+        for (int64_t t = 0; t < quarter; t++) {
+            for (int lane = 0; lane < 4; lane++) {
+                int32_t sidx;
+                if (t == quarter - 1) {
+                    sidx = chunk[int64_t(lane) * quarter];
+                } else {
+                    const int64_t i = quarter - 2 - t;
+                    const int ctx = chunk[int64_t(lane) * quarter + i];
+                    const int sym = chunk[int64_t(lane) * quarter + i + 1];
+                    sidx = (ctx << 8) | sym;
+                }
+                int64_t x = st[lane];
+                if (x >= xmax[sidx]) {
+                    pay[--wp] = uint8_t(x & 0xFF);
+                    pay[--wp] = uint8_t((x >> 8) & 0xFF);
+                    x >>= 16;
+                }
+                const int64_t q =
+                    int64_t((uint64_t(x) * inv_f[sidx]) >> inv_s[sidx]);
+                st[lane] = x + bias[sidx] + q * cmpl[sidx];
+            }
+        }
+        const int64_t renorm = int64_t(pay.size()) - wp;
+        const int64_t tail = csize - end4;
+        varint_put(w, uint32_t(renorm + tail));
+        for (int lane = 0; lane < 4; lane++)
+            w.put(uint64_t(st[lane]) & 0xFFFFFFFFull, 32);
+        for (int64_t i = wp; i < int64_t(pay.size()); i++)
+            w.put(pay[i], 8);
+        for (int64_t i = end4; i < csize; i++) w.put(chunk[i], 8);
+    }
+    return w.finish();
+}
+
+int64_t kz_ans1_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
+                          int64_t count, int64_t chunk_size,
+                          uint8_t* out, int64_t* decoded_out) {
+    std::vector<int64_t> freqs(65536), cum(65536);
+    std::vector<uint8_t> f2s;
+    std::vector<uint8_t> payload;
+    int64_t start = 0;
+    HBitR r{buf, nbits, pos};
+    while (start < count) {
+        const int64_t csize =
+            (chunk_size < count - start) ? chunk_size : count - start;
+        const int lr = 8 + int(r.bits(3));
+        if (r.err) return -2;
+        if (lr > 15) return -4;
+        const int64_t scale = int64_t(1) << lr;
+        const int llr = hbitlen(uint32_t(lr));
+        std::memset(freqs.data(), 0, 65536 * sizeof(int64_t));
+        int64_t total_alpha = 0;
+        for (int k = 0; k < 256; k++) {
+            int alpha[256];
+            int acount = 0;
+            if (r.bit() == 0) {
+                if (r.bit() == 0) {
+                    acount = 256;
+                    for (int i = 0; i < 256; i++) alpha[i] = i;
+                }
+            } else {
+                const int last_mask = int(r.bits(5));
+                for (int i = 0; i <= last_mask; i++) {
+                    const uint8_t m = uint8_t(r.bits(8));
+                    for (int j = 0; j < 8; j++)
+                        if (m & (1 << j)) alpha[acount++] = 8 * i + j;
+                }
+            }
+            if (r.err) return -2;
+            total_alpha += acount;
+            if (acount == 0) continue;
+            if (acount == 1) {
+                freqs[int64_t(k) * 256 + alpha[0]] = scale;
+                continue;
+            }
+            int64_t s = 0;
+            const int chk = acount >= 64 ? 8 : 6;
+            for (int i = 1; i < acount; i += chk) {
+                const int log_max = int(r.bits(llr));
+                if (r.err) return -2;
+                if (log_max > lr) return -4;
+                const int endj = (i + chk < acount) ? i + chk : acount;
+                for (int j = i; j < endj; j++) {
+                    const int64_t f =
+                        (log_max == 0) ? 1 : int64_t(r.bits(log_max)) + 1;
+                    if (r.err) return -2;
+                    if (f >= scale) return -4;
+                    freqs[int64_t(k) * 256 + alpha[j]] = f;
+                    s += f;
+                }
+            }
+            if (scale <= s) return -4;
+            freqs[int64_t(k) * 256 + alpha[0]] = scale - s;
+        }
+        if (total_alpha == 0) { count = start; break; }
+        // clamp + cum + f2s per context
+        if (int64_t(f2s.size()) < 256 * scale) f2s.resize(256 * scale);
+        for (int k = 0; k < 256; k++) {
+            int64_t c = 0;
+            uint8_t* frow = f2s.data() + int64_t(k) * scale;
+            int64_t p = 0;
+            for (int s = 0; s < 256; s++) {
+                const int64_t j = int64_t(k) * 256 + s;
+                int64_t f = freqs[j];
+                if (f > scale - 1) f = scale - 1;
+                freqs[j] = f;
+                cum[j] = c;
+                c += f;
+                int64_t fc = f;
+                if (fc > scale - p) fc = scale - p;
+                if (fc > 0) {
+                    std::memset(frow + p, s, size_t(fc));
+                    p += fc;
+                }
+            }
+            if (p < scale) std::memset(frow + p, 0, size_t(scale - p));
+        }
+        const int64_t sz = varint_get(r);
+        if (r.err) return -2;
+        if (sz < 0 || sz >= (int64_t(1) << 27)) return -4;
+        int64_t st[4];
+        for (int lane = 0; lane < 4; lane++) {
+            st[lane] = int64_t(r.bits(32));
+            if (r.err) return -2;
+        }
+        if (int64_t(payload.size()) < sz + 2) payload.resize(sz + 2);
+        if (r.pos + 8 * sz > nbits) return -2;
+        if ((r.pos & 7) == 0) {
+            std::memcpy(payload.data(), buf + (r.pos >> 3), size_t(sz));
+            r.pos += 8 * sz;
+        } else {
+            for (int64_t i = 0; i < sz; i++)
+                payload[i] = uint8_t(r.bits(8));
+        }
+        payload[sz] = 0;
+        payload[sz + 1] = 0;
+        const int64_t mask = scale - 1;
+        const int64_t count4 = csize & ~int64_t(3);
+        const int64_t quarter = count4 >> 2;
+        int64_t cursor = 0;
+        uint8_t* o = out + start;
+        const uint8_t* pp = payload.data();
+        int prv[4] = {0, 0, 0, 0};
+        for (int64_t t = 0; t < quarter; t++) {
+            for (int lane = 3; lane >= 0; lane--) {
+                int64_t s = st[lane];
+                const int p = prv[lane];
+                const int cur =
+                    f2s[(int64_t(p) << lr) + (s & mask)];
+                o[int64_t(lane) * quarter + t] = uint8_t(cur);
+                const int64_t j = (int64_t(p) << 8) | cur;
+                s = freqs[j] * (s >> lr) + (s & mask) - cum[j];
+                if (s < KZ_ANS_TOP) {
+                    if (cursor > sz) return -4;
+                    s = (s << 16) | (int64_t(pp[cursor]) << 8)
+                      | pp[cursor + 1];
+                    cursor += 2;
+                }
+                st[lane] = s;
+                prv[lane] = cur;
+            }
+        }
+        for (int64_t i = count4; i < csize; i++) {
+            if (cursor >= sz + 2) return -4;
+            o[i] = pp[cursor++];
+        }
+        if (cursor != sz) return -4;
+        start += csize;
+    }
+    *decoded_out = count;
+    return r.pos;
+}
+
+}  // extern "C"
