@@ -344,6 +344,11 @@ class HuffmanEncoder(EntropyEncoder):
             start = self._encode_device(block, count)
         from kanzi_tpu.utils import native
         use_native = native.transforms_available()
+        if use_native and start < count:
+            res = native.huff_enc_block(block[start:], self.chunk_size)
+            if res is not None:
+                self.obs._append_bit_run(res[0], res[1])
+                return count
         while start < count:
             size_chunk = min(self.chunk_size, count - start)
             chunk = block[start:start + size_chunk]
@@ -424,6 +429,12 @@ class HuffmanDecoder(EntropyDecoder):
                      and _device_huffman_enabled())
         from kanzi_tpu.utils import native
         use_native = native.transforms_available()
+        if use_native and not (device_ok and count >= MAX_CHUNK_SIZE):
+            pos, dec = native.huff_dec_block(
+                self.ibs._data, self.ibs._nbits, self.ibs._pos, count,
+                self.chunk_size)
+            self.ibs.seek(pos)
+            return dec
         queued = []  # (start, sizes, codes, frag_pay [4, row] u8)
         start = 0
         while start < count:

@@ -138,6 +138,11 @@ def _load(name: str):
                 lib.kz_ans1_dec_block.restype = i64
                 lib.kz_ans1_dec_block.argtypes = [u8p, i64, i64, i64,
                                                   i64, u8p, i64p]
+                lib.kz_huff_enc_block.restype = i64
+                lib.kz_huff_enc_block.argtypes = [u8p, i64, i64, u8p, i64]
+                lib.kz_huff_dec_block.restype = i64
+                lib.kz_huff_dec_block.argtypes = [u8p, i64, i64, i64,
+                                                  i64, u8p, i64p]
                 lib.kz_fsd_forward_delta.restype = i64
                 lib.kz_fsd_forward_delta.argtypes = [u8p, i64,
                                                      ctypes.c_int, i64, u8p]
@@ -489,6 +494,39 @@ def ans0_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
     if rc < 0:
         raise ValueError("Invalid bitstream: bad ANS chunk")
     return int(rc), out[:decoded.value]
+
+def huff_enc_block(block: np.ndarray, chunk_size: int):
+    """Whole-block Huffman encode (every chunk: header + 4 fragments).
+    Returns (bitrun bytes, nbits) or None if the native path cannot
+    encode this block (pathological code lengths)."""
+    lib = _load("transforms")
+    block = np.ascontiguousarray(block, np.uint8)
+    cap = 2 * len(block) + 4096 * (len(block) // chunk_size + 2)
+    out = np.empty(cap, np.uint8)
+    nbits = lib.kz_huff_enc_block(_u8ptr(block), len(block), chunk_size,
+                                  _u8ptr(out), cap)
+    if nbits < 0:
+        return None
+    return out[:(int(nbits) + 7) >> 3].tobytes(), int(nbits)
+
+
+def huff_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
+                   chunk_size: int):
+    """Whole-block Huffman decode. Returns (newpos, out ndarray)."""
+    from kanzi_tpu.bitstream.reader import BitStreamError
+    lib = _load("transforms")
+    out = np.empty(count, np.uint8)
+    decoded = ctypes.c_int64(0)
+    rc = lib.kz_huff_dec_block(
+        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        nbits, bitpos, count, chunk_size, _u8ptr(out),
+        ctypes.byref(decoded))
+    if rc == -2:
+        raise BitStreamError("read past end of bitstream")
+    if rc < 0:
+        raise ValueError("Invalid bitstream: bad Huffman chunk")
+    return int(rc), out[:decoded.value]
+
 
 def ans1_enc_block(block: np.ndarray, chunk_size: int, lr: int):
     """Whole-block order-1 ANS encode (256-context headers + quarter-

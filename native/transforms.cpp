@@ -1217,12 +1217,13 @@ inline int canonical_codes(const int* sizes, const int* syms, int count,
 
 extern "C" {
 
-// Encode one Huffman chunk (header + fragments) into `out` as an
-// MSB-first bit run. Returns total bits, -1 if the chunk needs the
-// bit-debt limit path (caller falls back), -2 on invalid code lengths.
-// `out` must hold >= 2*count + 1300 bytes.
-int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
-                          uint8_t* out) {
+}  // extern "C"
+
+namespace {
+
+// Encode one Huffman chunk (header + fragments) into an in-progress
+// writer. Returns 0, or -2 on invalid code lengths.
+int huff_enc_chunk_into(HBitW& w, const uint8_t* chunk, int64_t count) {
     int64_t freq[256] = {0};
     for (int64_t i = 0; i < count; i++) freq[chunk[i]]++;
     int alpha[256];
@@ -1230,7 +1231,6 @@ int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
     for (int s = 0; s < 256; s++)
         if (freq[s]) alpha[acount++] = s;
 
-    HBitW w{out};
     // encodeAlphabet (entropy/utils.py:23-39)
     if (acount == 0) {
         w.put(0, 1); w.put(1, 1);
@@ -1245,7 +1245,7 @@ int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
         w.put(uint64_t(last_mask), 5);
         for (int i = 0; i <= last_mask; i++) w.put(masks[i], 8);
     }
-    if (acount == 0) return w.finish();
+    if (acount == 0) return 0;
 
     int sizes[256] = {0};
     int codes[256] = {0};
@@ -1353,7 +1353,7 @@ int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
         eg_put(w, (sizes[s] - prev) & 0xFF);
         prev = sizes[s];
     }
-    if (acount <= 1) return w.finish();
+    if (acount <= 1) return 0;
 
     // 4 fragments: packed interleaved into side buffers (4 independent
     // accumulator chains in flight instead of 1 serial one), then
@@ -1395,6 +1395,43 @@ int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
         if (rem) w.put(d[full] >> (8 - rem), rem);
     }
     for (int64_t i = 4 * sz_frag; i < count; i++) w.put(chunk[i], 8);
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one Huffman chunk as a standalone bit run (legacy per-chunk
+// entry; the block path below is the hot one). Returns total bits or
+// a negative error.
+int64_t kz_huff_enc_chunk(const uint8_t* chunk, int64_t count,
+                          uint8_t* out) {
+    HBitW w{out};
+    const int rc = huff_enc_chunk_into(w, chunk, count);
+    if (rc < 0) return rc;
+    return w.finish();
+}
+
+// Encode a whole Huffman block (every chunk: alphabet header, code
+// lengths, 4 fragment streams; chunks < 32 B stored raw) in one call.
+// Returns total bits, -1 if out_cap exceeded, -2 invalid codes.
+int64_t kz_huff_enc_block(const uint8_t* src, int64_t count,
+                          int64_t chunk_size, uint8_t* out,
+                          int64_t out_cap) {
+    HBitW w{out};
+    for (int64_t start = 0; start < count; start += chunk_size) {
+        const int64_t csize =
+            (chunk_size < count - start) ? chunk_size : count - start;
+        if (w.nbytes + 2 * csize + 4096 > out_cap) return -1;
+        if (csize < 32) {
+            for (int64_t i = 0; i < csize; i++)
+                w.put(src[start + i], 8);
+        } else {
+            const int rc = huff_enc_chunk_into(w, src + start, csize);
+            if (rc < 0) return rc;
+        }
+    }
     return w.finish();
 }
 
@@ -2440,6 +2477,40 @@ int64_t kz_ans1_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
     }
     *decoded_out = count;
     return r.pos;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Decode a whole Huffman block: loops kz_huff_dec_chunk over every
+// chunk (chunks < 32 B are raw bytes). Returns the new bit position;
+// *decoded_out = bytes produced (an empty-alphabet header truncates).
+// Negative: -2 overrun, -3 bad varint, -4 bad size, -6 bad codes.
+int64_t kz_huff_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
+                          int64_t count, int64_t chunk_size,
+                          uint8_t* out, int64_t* decoded_out) {
+    int64_t start = 0;
+    while (start < count) {
+        const int64_t csize =
+            (chunk_size < count - start) ? chunk_size : count - start;
+        if (csize < 32) {
+            HBitR r{buf, nbits, pos};
+            for (int64_t i = 0; i < csize; i++)
+                out[start + i] = uint8_t(r.bits(8));
+            if (r.err) return -2;
+            pos = r.pos;
+        } else {
+            const int64_t rc =
+                kz_huff_dec_chunk(buf, nbits, pos, csize, out + start);
+            if (rc == -5) { count = start; break; }
+            if (rc < 0) return rc;
+            pos = rc;
+        }
+        start += csize;
+    }
+    *decoded_out = count;
+    return pos;
 }
 
 }  // extern "C"
