@@ -133,8 +133,9 @@ def _run_ref(args, timeout=900):
 
 
 def reference_level(data: bytes, level: int, tmpdir: str):
-    """Returns (enc_MBps, dec_MBps, compressed_B) for the reference binary
-    at -l level -j 1 on this host."""
+    """Returns (enc_MBps, dec_MBps, compressed_B, sha256 of the
+    compressed stream) for the reference binary at -l level -j 1 on this
+    host."""
     src = os.path.join(tmpdir, f"ref_l{level}.bin")
     knz = os.path.join(tmpdir, f"ref_l{level}.knz")
     dec = os.path.join(tmpdir, f"ref_l{level}.dec")
@@ -145,17 +146,20 @@ def reference_level(data: bytes, level: int, tmpdir: str):
                    "-i", src, "-o", knz])
     td = _run_ref(["-d", "-f", "-j", "1", "-i", knz, "-o", dec])
     size = os.path.getsize(knz)
+    with open(knz, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()
     with open(dec, "rb") as f:
         if f.read(64) != data[:64]:
             raise RuntimeError("reference roundtrip mismatch")
     for p in (src, knz, dec):
         os.unlink(p)
-    return mb / te, mb / td, size
+    return mb / te, mb / td, size, sha
 
 
 def ours_level(data: bytes, level: int):
     """Host-native end-to-end (device ops disabled: the tunnel would cap
-    any device stage at ~25 MB/s and misrepresent both sides)."""
+    any device stage at ~25 MB/s and misrepresent both sides). Returns
+    (enc_MBps, dec_MBps, size, sha256 of the compressed stream)."""
     import kanzi_tpu.ops as ops
     from kanzi_tpu.app.cli import LEVEL_BLOCK_SIZE, LEVEL_TABLE
     from kanzi_tpu.io.compressed_stream import compress_bytes, \
@@ -172,7 +176,8 @@ def ours_level(data: bytes, level: int):
         out = decompress_bytes(blob)
         td = time.perf_counter() - t0
         assert out == data, f"roundtrip mismatch at level {level}"
-        return mb / te, mb / td, len(blob)
+        return mb / te, mb / td, len(blob), \
+            hashlib.sha256(blob).hexdigest()
     finally:
         ops.enable()
 
@@ -322,27 +327,33 @@ def main() -> int:
     have_ref = build_oracle()
     levels = {}
     with tempfile.TemporaryDirectory() as td:
+        # Reference and our runs are interleaved per level (not cached
+        # across runs): this host's effective clock drifts +/-15% over
+        # tens of minutes, so same-minute pairs are the only fair ratio.
         for level in range(1, 10):
             sl = data[:LEVEL_SLICE_MB[level] * 1024 * 1024]
             key = str(level)
-            if have_ref and key not in cache["levels"]:
-                re_, rd, rs = reference_level(sl, level, td)
-                cache["levels"][key] = {"ref_enc_MBps": round(re_, 2),
-                                        "ref_dec_MBps": round(rd, 2),
-                                        "ref_size": rs}
-                with open(CACHE, "w") as f:
-                    json.dump(cache, f)
-            oe, od, osz = ours_level(sl, level)
-            ent = dict(cache["levels"].get(key, {}))
-            ent.update({"slice_MB": LEVEL_SLICE_MB[level],
-                        "enc_MBps": round(oe, 2),
+            ent = {"slice_MB": LEVEL_SLICE_MB[level]}
+            if have_ref:
+                re_, rd, rs, rsha = reference_level(sl, level, td)
+                ent.update({"ref_enc_MBps": round(re_, 2),
+                            "ref_dec_MBps": round(rd, 2),
+                            "ref_size": rs})
+            oe, od, osz, osha = ours_level(sl, level)
+            ent.update({"enc_MBps": round(oe, 2),
                         "dec_MBps": round(od, 2),
                         "size": osz})
-            if "ref_enc_MBps" in ent:
+            if have_ref:
                 ent["enc_vs_ref"] = round(oe / ent["ref_enc_MBps"], 3)
                 ent["dec_vs_ref"] = round(od / ent["ref_dec_MBps"], 3)
                 ent["size_vs_ref"] = round(osz / ent["ref_size"], 4)
+                ent["bytes_identical"] = bool(osha == rsha)
             levels[key] = ent
+            cache["levels"][key] = {k: ent[k] for k in
+                                    ("ref_enc_MBps", "ref_dec_MBps",
+                                     "ref_size") if k in ent}
+        with open(CACHE, "w") as f:
+            json.dump(cache, f)
 
     dev = device_rates(data)
 
