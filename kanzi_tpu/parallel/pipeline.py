@@ -316,3 +316,283 @@ def compress_l5_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
     w.out.write(w._obs.getvalue())
     w._closed = True
     return sink.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# DECODE side: sharded level-5 inverse pipeline
+# (VERDICT r2 item 7: mesh coverage beyond l5-encode)
+# ---------------------------------------------------------------------------
+
+def _rank_inverse_jnp(data: jnp.ndarray) -> jnp.ndarray:
+    """Exact inverse of _rank_forward_jnp (SBRT.cpp:99-145, RANK mode):
+    per step the emitted symbol is the one currently holding rank r; its
+    new rank and the shift window follow the same max-q rule."""
+    syms = jnp.arange(256, dtype=jnp.int32)
+
+    def step(carry, r):
+        ranks, p, q, i = carry
+        c = jnp.sum(jnp.where(ranks == r, syms, 0))
+        qc = (i + jnp.take(p, c)) >> 1
+        above = (ranks < r) & (q > qc)
+        new_r = jnp.max(jnp.where(above, ranks + 1, 0))
+        shift = (ranks >= new_r) & (ranks < r)
+        ranks = jnp.where(shift, ranks + 1, ranks)
+        ranks = jnp.where(syms == c, new_r, ranks)
+        p = jnp.where(syms == c, i, p)
+        q = jnp.where(syms == c, qc, q)
+        return (ranks, p, q, i + 1), c
+
+    init = (syms, jnp.zeros(256, jnp.int32), jnp.zeros(256, jnp.int32),
+            jnp.int32(0))
+    _, out = jax.lax.scan(step, init, data.astype(jnp.int32))
+    return out
+
+
+def _zrlt_inverse_jnp(data: jnp.ndarray, out_n: int) -> jnp.ndarray:
+    """ZRLT inverse (transform/zrlt.py inverse) as one scan + scatter:
+    zero runs need no writes (the output starts zeroed), so the scan only
+    emits (position, value) pairs for literals. Input may be padded with
+    trailing 0 digits -- they extend a final run that is discarded, the
+    same end-of-input rule the host decoder applies."""
+    m = data.shape[0]
+    x = data.astype(jnp.int32)
+
+    def step(carry, val):
+        rl, in_run, esc, pos = carry
+        # escape operand?
+        emit_esc = esc
+        esc_val = (0xFE + val) & 0xFF
+        # digit (only when not an operand)
+        is_digit = (~emit_esc) & (val <= 1)
+        rl2 = jnp.where(is_digit,
+                        jnp.where(in_run, 2 * rl + val, 2 + val), rl)
+        in_run2 = jnp.where(emit_esc, in_run, is_digit | (in_run & is_digit))
+        # run terminates at a non-digit (and not an operand byte)
+        term = (~emit_esc) & (~is_digit) & in_run
+        pos2 = pos + jnp.where(term, rl - 1, 0)
+        # literal emission
+        is_ff = (~emit_esc) & (~is_digit) & (val == 0xFF)
+        is_lit = (~emit_esc) & (~is_digit) & (val != 0xFF)
+        wpos = jnp.where(emit_esc | is_lit, pos2, jnp.int32(out_n))
+        wval = jnp.where(emit_esc, esc_val, val - 1).astype(jnp.uint8)
+        pos3 = pos2 + (emit_esc | is_lit).astype(jnp.int32)
+        rl3 = jnp.where(term, 0, rl2)
+        return (rl3, in_run2 & ~term, is_ff, pos3), (wpos, wval)
+
+    init = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0))
+    _, (wpos, wval) = jax.lax.scan(step, init, x)
+    out = jnp.zeros(out_n + 1, jnp.uint8)
+    out = out.at[wpos].set(wval, mode="drop")
+    return out[:out_n]
+
+
+def _bwt_inverse_jnp(payload: jnp.ndarray, n: int, pis: int):
+    """BWTBlockCodec inverse (mergeTPSI semantics) on device: parse the
+    primary index from the header, stable-sort positions by value, chain
+    walk via pointer doubling. payload [hdr+n] u8, n/pis static."""
+    hdr = 1 + 8 * pis
+    p_idx = jnp.int32(0)
+    for b in range(pis):
+        p_idx = (p_idx << 8) | payload[1 + b].astype(jnp.int32)
+    p_idx = p_idx + 1                            # stored value-1
+    bwt = payload[hdr:hdr + n]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(bwt, stable=True)
+    adj = jnp.where((idx >= 1) & (idx < p_idx), idx - 1, idx)
+    adj = adj.at[0].set(0)
+    vals = jnp.take(bwt, order)
+    nxt = jnp.take(adj, order)
+    # chain walk from p_idx-1 by pointer doubling: log2(n) gather rounds
+    pos = jnp.zeros(n, jnp.int32).at[0].set(p_idx - 1)
+    filled = 1
+    f = nxt
+    while filled < n:
+        take = min(filled, n - filled)
+        nxt_pos = jnp.take(f, jax.lax.dynamic_slice(pos, (0,), (take,)))
+        pos = jax.lax.dynamic_update_slice(pos, nxt_pos, (filled,))
+        f = jnp.take(f, f)
+        filled *= 2
+    return jnp.take(vals, pos).astype(jnp.uint8)
+
+
+@lru_cache(maxsize=8)
+def _device_l5_inv_fn(mesh, zin_pad: int, rank_len: int, n: int, pis: int):
+    """Jitted, mesh-sharded inverse transform step for B same-size
+    blocks: ZRLT⁻¹ (when it ran) -> RANK⁻¹ -> BWT⁻¹."""
+
+    def one(zin, zran):
+        zout = _zrlt_inverse_jnp(zin, rank_len)
+        rk_in = jnp.where(zran, zout, zin[:rank_len])
+        rank_out = _rank_inverse_jnp(rk_in)
+        return _bwt_inverse_jnp(rank_out, n, pis)
+
+    spec = NamedSharding(mesh, P(AXIS))
+    return jax.jit(jax.vmap(one), in_shardings=(spec, spec),
+                   out_shardings=spec)
+
+
+def _parse_ans0_block(payload: bytes, bits: int, block_size: int):
+    """Host parse of one block's framing + ANS0 chunk records.
+    Returns (pre_len, skip_flags, records, tail_decoded np array or None)
+    where records = list of (freqs[256], states[4], payload bytes) for
+    full 16 KiB chunks, or None if this block needs the host path."""
+    from kanzi_tpu.bitstream import BitReader
+    from kanzi_tpu.entropy import utils as eu
+    from kanzi_tpu.utils import native
+
+    ibs = BitReader(payload)
+    mode = ibs.read_bits(8)
+    if mode & 0x80:                                   # copy block
+        return None
+    if mode & 0x10:
+        skip_flags = ibs.read_bits(8)
+    else:
+        skip_flags = ((mode << 4) | 0x0F) & 0xFF
+    data_size = 1 + ((mode >> 5) & 0x03)
+    pre_len = ibs.read_bits(8 * data_size)
+    if pre_len <= 32:                                 # raw-bytes entropy path
+        return None
+
+    records = []
+    tails = []
+    start = 0
+    while start < pre_len:
+        size = min(16384, pre_len - start)
+        pos, freqs, counts, lr = native.ans_dec_header(
+            ibs._data, ibs._nbits, ibs._pos, 0)
+        ibs.seek(pos)
+        if counts[0] == 0:
+            return None                               # truncating stream
+        if counts[0] == 1:
+            sym = int(np.nonzero(freqs[0])[0][0])
+            tails.append((start, np.full(size, sym, np.uint8)))
+        elif size == 16384 and lr == 12:
+            sz = eu.read_varint(ibs)
+            states = np.array([ibs.read_bits(32) for _ in range(4)],
+                              np.uint32)
+            records.append((start, freqs[0].astype(np.int32), states,
+                            ibs.read_bytes(sz), sz))
+        else:
+            # odd-size tail chunk: decode on host via the native block
+            # decoder would re-read the header; decode inline instead
+            from kanzi_tpu.entropy.ans import ANSRangeDecoder
+            dec = ANSRangeDecoder.__new__(ANSRangeDecoder)
+            dec.ibs = ibs
+            dec.order = 0
+            dec.chunk_size = 16384
+            out = np.empty(size, np.uint8)
+            dec._decode_chunk(out, 0, size, freqs, lr)
+            tails.append((start, out))
+        start += size
+    return pre_len, skip_flags, records, tails
+
+
+def decompress_l5_mesh(blob: bytes, mesh=None) -> bytes:
+    """Full level-5 container decode with the entropy stage batched
+    ACROSS blocks (one sharded ANS0 decode call for every full 16 KiB
+    chunk in the file — VERDICT r2 item 10) and the inverse transforms
+    (ZRLT⁻¹, RANK⁻¹, BWT⁻¹ chain walk) sharded over the mesh. Blocks
+    that used TEXT/UTF (or copy mode) fall back to the host path;
+    byte-identity with the host reader holds either way."""
+    from kanzi_tpu.core.stats import log2 as _log2
+    from kanzi_tpu.io.compressed_stream import (CompressedReader,
+                                                decode_block)
+    from kanzi_tpu.ops.ans import PAYLOAD_MAX
+    from kanzi_tpu.parallel.mesh import shard_ans0_decode
+
+    if mesh is None:
+        mesh = block_mesh()
+    r = CompressedReader(blob)        # header parsed in __init__
+    n = r.block_size
+    lbs = _log2(n) + (1 if n & (n - 1) else 0)
+    pis = (lbs + 7) >> 3
+    rank_len = n + 1 + 8 * pis
+
+    frames = []                                       # (payload, bits)
+    while True:
+        lr_ = 3 + r.ibs.read_bits(5)
+        bits = r.ibs.read_bits(lr_)
+        if bits == 0:
+            break
+        nbytes = (bits + 7) >> 3
+        payload = (r.ibs.read_bytes(nbytes - 1) if bits & 7
+                   else r.ibs.read_bytes(nbytes))
+        if bits & 7:
+            tail = r.ibs.read_bits(bits & 7)
+            payload += bytes([(tail << (8 - (bits & 7))) & 0xFF])
+        frames.append((payload, bits))
+
+    # phase 1: host parse; gather all full chunks for one sharded decode
+    parsed = []
+    all_recs = []
+    for payload, bits in frames:
+        p = _parse_ans0_block(payload, bits, n)
+        parsed.append(p)
+        if p is not None:
+            all_recs.extend(p[2])
+    chunk_out = {}
+    if all_recs:
+        freqs = np.stack([rc[1] for rc in all_recs])
+        states = np.stack([rc[2] for rc in all_recs])
+        pay = np.zeros((len(all_recs), PAYLOAD_MAX + 2), np.uint8)
+        for i, rc in enumerate(all_recs):
+            pay[i, :rc[4]] = np.frombuffer(rc[3], np.uint8)
+        dec, cur = shard_ans0_decode(freqs, states, pay, mesh)
+        for i, rc in enumerate(all_recs):
+            if cur[i] != rc[4]:
+                raise ValueError("ANS chunk payload size mismatch")
+        chunk_out = {id(rc): dec[i] for i, rc in enumerate(all_recs)}
+
+    # phase 2: per-block entropy assembly + sharded inverse transforms
+    host_rows = {}
+    dev_rows = []                                     # (bi, zin, zran)
+    pre_lens = []
+    for bi, ((payload, bits), p) in enumerate(zip(frames, parsed)):
+        if bi == len(frames) - 1:
+            p = None                 # last frame may be a partial block
+        if p is None:
+            host_rows[bi] = decode_block(payload, bits, bi + 1, r.ctx,
+                                         r.transform_type, r.entropy_type,
+                                         r.block_size, r.checksum_bits)
+            continue
+        pre_len, skip_flags, records, tails = p
+        ebuf = np.empty(pre_len, np.uint8)
+        for start, arr in tails:
+            ebuf[start:start + len(arr)] = arr
+        for rc in records:
+            ebuf[rc[0]:rc[0] + 16384] = chunk_out[id(rc)]
+        # stage pattern: TEXT/UTF skipped, BWT+RANK ran, ZRLT ran|skipped
+        text_utf_skipped = (skip_flags & 0xC0) == 0xC0
+        bwt_rank_ran = (skip_flags & 0x30) == 0
+        zrlt_ran = (skip_flags & 0x08) == 0
+        rest_skipped = (skip_flags & 0x07) == 0x07
+        if (len(ebuf) >= (1 if zrlt_ran else rank_len)
+                and text_utf_skipped and bwt_rank_ran and rest_skipped
+                and (zrlt_ran or pre_len == rank_len)):
+            dev_rows.append((bi, ebuf, zrlt_ran))
+            pre_lens.append(pre_len)
+        else:
+            host_rows[bi] = decode_block(payload, bits, bi + 1, r.ctx,
+                                         r.transform_type, r.entropy_type,
+                                         r.block_size, r.checksum_bits)
+
+    if dev_rows:
+        zin_pad = max(max(len(e) for _, e, _ in dev_rows), rank_len)
+        zin = np.zeros((len(dev_rows), zin_pad), np.uint8)
+        zran = np.zeros(len(dev_rows), bool)
+        for j, (_, e, zr) in enumerate(dev_rows):
+            zin[j, :len(e)] = e
+            zran[j] = zr
+        pad = -len(dev_rows) % mesh.devices.size
+        if pad:
+            zin = np.concatenate([zin, np.tile(zin[:1], (pad, 1))])
+            zran = np.concatenate([zran, zran[:1].repeat(pad)])
+        fn = _device_l5_inv_fn(mesh, zin_pad, rank_len, n, pis)
+        blocks = np.asarray(fn(jnp.asarray(zin), jnp.asarray(zran)))
+        for j, (bi, _, _) in enumerate(dev_rows):
+            host_rows[bi] = blocks[j]
+
+    out = bytearray()
+    for bi in range(len(frames)):
+        out += np.asarray(host_rows[bi]).tobytes()
+    return bytes(out)

@@ -304,13 +304,18 @@ class EXECodec(ByteTransform):
         if mode & NOT_EXE:
             self.ctx.put("dataType", mode & MASK_DT)
             return None
-        data = src.tolist()
         mode &= ~MASK_DT
         res = None
-        if mode == X86:
-            res = self._forward_x86(src, data, count, code_start, code_end)
+        from kanzi_tpu.utils import native
+        if mode in (X86, ARM64) and native.transforms_available():
+            res = native.exe_forward(src, mode == ARM64, code_start,
+                                     code_end, self.capacity_for(count))
+        elif mode == X86:
+            res = self._forward_x86(src, src.tolist(), count, code_start,
+                                    code_end)
         elif mode == ARM64:
-            res = self._forward_arm(src, data, count, code_start, code_end)
+            res = self._forward_arm(src, src.tolist(), count, code_start,
+                                    code_end)
         if res is not None:
             self.ctx.put("dataType", stats.EXE)
         return res
@@ -441,6 +446,9 @@ class EXECodec(ByteTransform):
         if count < 9:
             raise ValueError("EXE codec: block too short")
         mode = int(src[0])
+        from kanzi_tpu.utils import native
+        if mode in (X86, ARM64) and native.transforms_available():
+            return native.exe_inverse(src, mode == ARM64)
         if mode == X86:
             return self._inverse_x86(src, count)
         if mode == ARM64:

@@ -143,6 +143,16 @@ def _load(name: str):
                 lib.kz_huff_dec_block.restype = i64
                 lib.kz_huff_dec_block.argtypes = [u8p, i64, i64, i64,
                                                   i64, u8p, i64p]
+                lib.kz_exe_fwd_x86.restype = i64
+                lib.kz_exe_fwd_x86.argtypes = [u8p, i64, i64, i64, i64,
+                                               u8p]
+                lib.kz_exe_fwd_arm.restype = i64
+                lib.kz_exe_fwd_arm.argtypes = [u8p, i64, i64, i64, i64,
+                                               u8p]
+                lib.kz_exe_inv_x86.restype = i64
+                lib.kz_exe_inv_x86.argtypes = [u8p, i64, u8p]
+                lib.kz_exe_inv_arm.restype = i64
+                lib.kz_exe_inv_arm.argtypes = [u8p, i64, u8p]
                 lib.kz_fsd_forward_delta.restype = i64
                 lib.kz_fsd_forward_delta.argtypes = [u8p, i64,
                                                      ctypes.c_int, i64, u8p]
@@ -790,6 +800,31 @@ def rolz1_rebuild(lit: np.ndarray, tk: np.ndarray, lens: np.ndarray,
     if rc == -3:
         raise ValueError("ROLZ: buffers not fully consumed")
     return int(rc)
+
+
+def exe_forward(src: np.ndarray, arm: bool, code_start: int,
+                code_end: int, dst_capacity: int):
+    """EXE x86/ARM64 forward rewrite loop. Returns output array or None
+    (transform skipped)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(dst_capacity + 8, np.uint8)
+    fn = lib.kz_exe_fwd_arm if arm else lib.kz_exe_fwd_x86
+    n = fn(_u8ptr(src), len(src), code_start, code_end, dst_capacity,
+           _u8ptr(dst))
+    return None if n < 0 else dst[:n]
+
+
+def exe_inverse(src: np.ndarray, arm: bool):
+    """EXE inverse rewrite loop. Raises on malformed stream."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(len(src) + 8, np.uint8)
+    fn = lib.kz_exe_inv_arm if arm else lib.kz_exe_inv_x86
+    n = fn(_u8ptr(src), len(src), _u8ptr(dst))
+    if n < 0:
+        raise ValueError("EXE codec: invalid stream")
+    return dst[:n]
 
 
 def exe_detect_scan(src, code_start: int, code_end: int):

@@ -2514,3 +2514,253 @@ int64_t kz_huff_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// EXE codec rewrite loops (kanzi_tpu/transform/exe.py _forward_x86 /
+// _forward_arm / _inverse_x86 / _inverse_arm; reference
+// src/transform/EXECodec.cpp:114+). Byte-identical with the Python
+// automata. Returns output length, -1 = transform skipped (forward),
+// -2 = malformed stream (inverse).
+// ---------------------------------------------------------------------
+
+int64_t kz_exe_fwd_x86(const uint8_t* src, int64_t count,
+                       int64_t code_start, int64_t code_end,
+                       int64_t dst_capacity, uint8_t* dst) {
+    const int64_t dst_end = dst_capacity - 5;
+    if (code_start < 0 || code_start > count
+        || 9 + code_start > dst_capacity) return -1;
+    if (code_end < code_start || code_end > count) return -1;
+    int64_t w = 9;
+    dst[0] = 0x40;                                   // X86
+    if (code_start > 0) {
+        std::memcpy(dst + w, src, size_t(code_start));
+        w += code_start;
+    }
+    int64_t src_idx = code_start;
+    int64_t matches = 0;
+    bool boundary = false;
+    while (src_idx < code_end && w < dst_end) {
+        if (src[src_idx] == 0x0F) {                  // TWO_BYTE_PREFIX
+            if (src_idx + 1 >= code_end) { boundary = true; break; }
+            if ((src[src_idx + 1] & 0xF0) == 0x80) {     // JCC
+                if (src_idx + 5 >= code_end) { boundary = true; break; }
+            }
+            dst[w++] = src[src_idx++];
+            if ((src[src_idx] & 0xF0) != 0x80) {
+                if (src[src_idx] == 0x9B) dst[w++] = 0x9B;   // ESCAPE
+                dst[w++] = src[src_idx++];
+                continue;
+            }
+            if (src_idx + 4 >= code_end) { boundary = true; break; }
+        } else if ((src[src_idx] & 0xFE) != 0xE8) {  // not JUMP
+            if (src[src_idx] == 0x9B) dst[w++] = 0x9B;
+            dst[w++] = src[src_idx++];
+            continue;
+        } else if (src_idx + 4 >= code_end) {
+            boundary = true;
+            break;
+        }
+        const int sgn = src[src_idx + 4];
+        int32_t offset;
+        std::memcpy(&offset, src + src_idx + 1, 4);  // little-endian
+        if ((sgn != 0 && sgn != 0xFF)
+            || offset == int32_t(0xFF000000)) {
+            dst[w++] = 0x9B;
+            dst[w++] = src[src_idx++];
+            continue;
+        }
+        int64_t addr;
+        if (sgn == 0) {
+            addr = src_idx + offset;
+        } else {
+            addr = src_idx
+                 - int64_t(uint64_t(-int64_t(offset)) & 0xFFFFFF);
+        }
+        dst[w++] = src[src_idx++];
+        const uint32_t enc = uint32_t(addr) ^ 0xF0F0F0F0u;
+        dst[w++] = uint8_t(enc >> 24);
+        dst[w++] = uint8_t(enc >> 16);
+        dst[w++] = uint8_t(enc >> 8);
+        dst[w++] = uint8_t(enc);
+        src_idx += 4;
+        matches++;
+    }
+    if (matches < 16 || (src_idx < code_end && !boundary)) return -1;
+    if (w + (count - src_idx) > dst_end) return -1;
+    const uint32_t cs = uint32_t(code_start);
+    const uint32_t cl = uint32_t(w);
+    std::memcpy(dst + 1, &cs, 4);                    // little-endian
+    std::memcpy(dst + 5, &cl, 4);
+    std::memcpy(dst + w, src + src_idx, size_t(count - src_idx));
+    w += count - src_idx;
+    if (w > count + count / 50) return -1;
+    return w;
+}
+
+int64_t kz_exe_fwd_arm(const uint8_t* src, int64_t count,
+                       int64_t code_start, int64_t code_end,
+                       int64_t dst_capacity, uint8_t* dst) {
+    const int64_t dst_end = dst_capacity - 8;
+    if (code_start < 0 || code_start > count
+        || 9 + code_start > dst_capacity) return -1;
+    if (code_end < code_start || code_end > count) return -1;
+    int64_t w = 9;
+    dst[0] = 0x20;                                   // ARM64
+    if (code_start > 0) {
+        std::memcpy(dst + w, src, size_t(code_start));
+        w += code_start;
+    }
+    int64_t src_idx = code_start;
+    int64_t matches = 0;
+    while (src_idx + 4 <= code_end && w < dst_end) {
+        uint32_t instr;
+        std::memcpy(&instr, src + src_idx, 4);
+        const uint32_t op1 = instr & 0xFC000000u;
+        if (op1 != 0x14000000u && op1 != 0x94000000u) {  // not B/BL
+            std::memcpy(dst + w, src + src_idx, 4);
+            w += 4;
+            src_idx += 4;
+            continue;
+        }
+        const int64_t offset = instr & 0x3FFFFFF;
+        const bool neg = (instr & (1u << 25)) != 0;
+        int64_t addr;
+        if (!neg) {
+            addr = src_idx + 4 * offset;
+        } else {
+            addr = src_idx
+                 - 4 * int64_t(uint64_t(-offset) & 0x3FFFFFF);
+        }
+        if (addr < 0) addr = 0;
+        const uint32_t val = op1 | uint32_t(addr >> 2);
+        std::memcpy(dst + w, &val, 4);
+        w += 4;
+        if (addr == 0) {
+            std::memcpy(dst + w, src + src_idx, 4);
+            w += 4;
+            src_idx += 4;
+            continue;
+        }
+        src_idx += 4;
+        matches++;
+    }
+    if (matches < 16 || (src_idx + 4 <= code_end && w >= dst_end))
+        return -1;
+    if (w + (count - src_idx) > dst_end) return -1;
+    const uint32_t cs = uint32_t(code_start);
+    const uint32_t cl = uint32_t(w);
+    std::memcpy(dst + 1, &cs, 4);
+    std::memcpy(dst + 5, &cl, 4);
+    std::memcpy(dst + w, src + src_idx, size_t(count - src_idx));
+    w += count - src_idx;
+    if (w > count + count / 50) return -1;
+    return w;
+}
+
+int64_t kz_exe_inv_x86(const uint8_t* src, int64_t count, uint8_t* dst) {
+    int64_t src_idx = 9;
+    int32_t cs32, ce32;
+    std::memcpy(&cs32, src + 1, 4);
+    std::memcpy(&ce32, src + 5, 4);
+    const int64_t code_start = cs32, code_end = ce32;
+    if (code_start < 0 || code_end < src_idx || code_end > count
+        || code_start > code_end - src_idx) return -2;
+    int64_t w = 0;
+    if (code_start > 0) {
+        std::memcpy(dst + w, src + src_idx, size_t(code_start));
+        w += code_start;
+        src_idx += code_start;
+    }
+    while (src_idx < code_end) {
+        if (src[src_idx] == 0x0F) {
+            if (src_idx + 1 >= code_end) {
+                dst[w++] = src[src_idx++];
+                break;
+            }
+            dst[w++] = src[src_idx++];
+            if ((src[src_idx] & 0xF0) != 0x80) {
+                if (src[src_idx] == 0x9B) {
+                    src_idx++;
+                    if (src_idx >= code_end) return -2;
+                }
+                dst[w++] = src[src_idx++];
+                continue;
+            }
+        } else if ((src[src_idx] & 0xFE) != 0xE8) {
+            if (src[src_idx] == 0x9B) {
+                src_idx++;
+                if (src_idx >= code_end) return -2;
+            }
+            dst[w++] = src[src_idx++];
+            continue;
+        }
+        if (src_idx + 4 >= code_end) return -2;
+        const uint32_t be = (uint32_t(src[src_idx + 1]) << 24)
+                          | (uint32_t(src[src_idx + 2]) << 16)
+                          | (uint32_t(src[src_idx + 3]) << 8)
+                          | uint32_t(src[src_idx + 4]);
+        const int64_t addr = int64_t(int32_t(be ^ 0xF0F0F0F0u));
+        const int64_t offset = addr - w;
+        int64_t enc;
+        if (offset >= 0) {
+            enc = offset;
+        } else {
+            enc = -int64_t(uint64_t(-offset) & 0xFFFFFF);
+        }
+        dst[w++] = src[src_idx++];
+        const uint32_t ev = uint32_t(enc);
+        std::memcpy(dst + w, &ev, 4);                // little-endian
+        w += 4;
+        src_idx += 4;
+    }
+    std::memcpy(dst + w, src + src_idx, size_t(count - src_idx));
+    return w + (count - src_idx);
+}
+
+int64_t kz_exe_inv_arm(const uint8_t* src, int64_t count, uint8_t* dst) {
+    int64_t src_idx = 9;
+    int32_t cs32, ce32;
+    std::memcpy(&cs32, src + 1, 4);
+    std::memcpy(&ce32, src + 5, 4);
+    const int64_t code_start = cs32, code_end = ce32;
+    if (code_start < 0 || code_end < src_idx || code_end > count
+        || code_start > code_end - src_idx) return -2;
+    int64_t w = 0;
+    if (code_start > 0) {
+        std::memcpy(dst + w, src + src_idx, size_t(code_start));
+        w += code_start;
+        src_idx += code_start;
+    }
+    while (src_idx < code_end) {
+        if (src_idx + 4 > code_end) return -2;
+        uint32_t instr;
+        std::memcpy(&instr, src + src_idx, 4);
+        const uint32_t op1 = instr & 0xFC000000u;
+        if (op1 != 0x14000000u && op1 != 0x94000000u) {
+            std::memcpy(dst + w, src + src_idx, 4);
+            w += 4;
+            src_idx += 4;
+            continue;
+        }
+        const int64_t addr = int64_t(instr & 0x3FFFFFF) << 2;
+        const int64_t offset = (addr - w) >> 2;
+        const uint32_t val = op1
+            | uint32_t(uint64_t(offset) & 0x3FFFFFF);
+        if (addr == 0) {
+            if (src_idx + 8 > code_end) return -2;
+            std::memcpy(dst + w, src + src_idx + 4, 4);
+            w += 4;
+            src_idx += 8;
+            continue;
+        }
+        std::memcpy(dst + w, &val, 4);
+        w += 4;
+        src_idx += 4;
+    }
+    std::memcpy(dst + w, src + src_idx, size_t(count - src_idx));
+    return w + (count - src_idx);
+}
+
+}  // extern "C"
