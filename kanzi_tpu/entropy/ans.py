@@ -33,8 +33,14 @@ MAX_CHUNK_SIZE = 1 << 27
 
 def _device_ans_enabled() -> bool:
     try:
+        import threading
+
         import kanzi_tpu.ops as ops
-        return ops.ENABLED
+        # JAX dispatch is not safe from worker threads (the decode
+        # prefetch pool runs blocks concurrently); device batching is a
+        # main-thread affair
+        return (ops.ENABLED
+                and threading.current_thread() is threading.main_thread())
     except Exception:  # pragma: no cover - jax always present in this image
         return False
 

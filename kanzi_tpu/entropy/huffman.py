@@ -35,8 +35,12 @@ TABLE_MASK = (1 << DECODING_BATCH_SIZE) - 1
 
 def _device_huffman_enabled() -> bool:
     try:
+        import threading
+
         import kanzi_tpu.ops as ops
-        return ops.ENABLED
+        # JAX dispatch is not safe from worker threads (decode prefetch)
+        return (ops.ENABLED
+                and threading.current_thread() is threading.main_thread())
     except Exception:  # pragma: no cover
         return False
 

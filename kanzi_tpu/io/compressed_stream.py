@@ -492,15 +492,42 @@ class CompressedWriter:
         if not self._block_queue:
             return
         self._write_header()
-        states = []
+        work = []
         for block in self._block_queue:
             self._block_id += 1
             slot = (self._block_id - 1) % self.jobs
-            states.append(_encode_block_phase1(
-                block, self._block_id, self.ctx, self.transform_type,
-                self.entropy_type, self.checksum_bits, self.listeners,
-                slot_caps=self._slot_caps[slot]))
+            work.append((block, self._block_id, slot))
         self._block_queue.clear()
+        if self.jobs > 1 and len(work) > 1:
+            # intra-file block concurrency (the EncodingTask fan-out,
+            # CompressedOutputStream.cpp:476-540): one worker per task
+            # slot so each slot's buffer-capacity evolution stays
+            # sequential (capacity semantics influence skip decisions,
+            # so this preserves byte-identity with -j 1); the hot loops
+            # are native ctypes calls that release the GIL
+            from concurrent.futures import ThreadPoolExecutor
+            by_slot = {}
+            for i, (block, bid, slot) in enumerate(work):
+                by_slot.setdefault(slot, []).append((i, block, bid, slot))
+            results = [None] * len(work)
+
+            def run_slot(items):
+                for i, block, bid, slot in items:
+                    results[i] = _encode_block_phase1(
+                        block, bid, self.ctx, self.transform_type,
+                        self.entropy_type, self.checksum_bits,
+                        self.listeners, slot_caps=self._slot_caps[slot])
+
+            with ThreadPoolExecutor(max_workers=self.jobs) as ex:
+                list(ex.map(run_slot, by_slot.values()))
+            states = results
+        else:
+            states = [
+                _encode_block_phase1(
+                    block, bid, self.ctx, self.transform_type,
+                    self.entropy_type, self.checksum_bits, self.listeners,
+                    slot_caps=self._slot_caps[slot])
+                for block, bid, slot in work]
         prepare_ans0_batch(states)
         prepare_huffman_batch(states)
         verbose5 = self.ctx.get_int("verbosity", 0) > 4 and self.listeners
@@ -674,35 +701,66 @@ class CompressedReader:
     def read_blocks(self, from_block: int = 1, to_block: int = MAX_BLOCK_ID):
         """Yield decoded blocks in order (streaming decode: with a
         file-object source and a consumer that writes each block out,
-        peak memory is O(block size))."""
-        block_id = 0
-        while True:
-            block_id += 1
-            lr = 3 + self.ibs.read_bits(5)
-            bits = self.ibs.read_bits(lr)
-            if bits == 0:
-                break
-            if bits > (1 << 34):
-                raise KanziError("Invalid block size", Error.ERR_BLOCK_SIZE)
-            nbytes = (bits + 7) >> 3
-            payload = self.ibs.read_bytes(nbytes - 1) if bits & 7 else self.ibs.read_bytes(nbytes)
-            if bits & 7:
-                tail = self.ibs.read_bits(bits & 7)
-                payload += bytes([ (tail << (8 - (bits & 7))) & 0xFF ])
-            if block_id < from_block:
-                continue
-            if block_id >= to_block:
-                break
-            if self.ctx.get_int("verbosity", 0) > 4 and self.listeners:
-                self.listeners.notify(Event(
-                    EventType.BLOCK_INFO, block_id, (bits + 7) >> 3,
-                    offset=self.ibs.tell() - bits))
-            data = decode_block(payload, bits, block_id, self.ctx,
-                                self.transform_type, self.entropy_type,
-                                self.block_size, self.checksum_bits,
-                                self.listeners)
-            self._blocks_decoded += 1
-            yield data.tobytes()
+        peak memory is O(block size)). With jobs > 1, up to `jobs` block
+        decodes are kept in flight as futures (the DecodingTask prefetch,
+        CompressedInputStream.cpp:336-344): the shared bitstream is read
+        sequentially here and the entropy+inverse work fans out."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=self.jobs) \
+            if self.jobs > 1 else None
+        inflight = deque()
+        try:
+            block_id = 0
+            while True:
+                block_id += 1
+                lr = 3 + self.ibs.read_bits(5)
+                bits = self.ibs.read_bits(lr)
+                if bits == 0:
+                    break
+                if bits > (1 << 34):
+                    raise KanziError("Invalid block size",
+                                     Error.ERR_BLOCK_SIZE)
+                nbytes = (bits + 7) >> 3
+                payload = self.ibs.read_bytes(nbytes - 1) if bits & 7 \
+                    else self.ibs.read_bytes(nbytes)
+                if bits & 7:
+                    tail = self.ibs.read_bits(bits & 7)
+                    payload += bytes([(tail << (8 - (bits & 7))) & 0xFF])
+                if block_id < from_block:
+                    continue
+                if block_id >= to_block:
+                    break
+                if self.ctx.get_int("verbosity", 0) > 4 and self.listeners:
+                    self.listeners.notify(Event(
+                        EventType.BLOCK_INFO, block_id, (bits + 7) >> 3,
+                        offset=self.ibs.tell() - bits))
+                if ex is None:
+                    data = decode_block(payload, bits, block_id, self.ctx,
+                                        self.transform_type,
+                                        self.entropy_type,
+                                        self.block_size,
+                                        self.checksum_bits,
+                                        self.listeners)
+                    self._blocks_decoded += 1
+                    yield data.tobytes()
+                    continue
+                inflight.append(ex.submit(
+                    decode_block, payload, bits, block_id, self.ctx,
+                    self.transform_type, self.entropy_type,
+                    self.block_size, self.checksum_bits, self.listeners))
+                while len(inflight) >= self.jobs:
+                    data = inflight.popleft().result()
+                    self._blocks_decoded += 1
+                    yield data.tobytes()
+            while inflight:
+                data = inflight.popleft().result()
+                self._blocks_decoded += 1
+                yield data.tobytes()
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=False, cancel_futures=True)
 
 
 # --- convenience one-shot APIs ---
