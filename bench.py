@@ -287,6 +287,38 @@ def device_rates(data: bytes):
     assert bytes(got) == raw[:hn].tobytes()
     res["huffman_decode_MBps"] = hn / 1e6 / timing["s"]
 
+    # huffman ENCODE kernel (device 4-fragment chunk encoder)
+    from kanzi_tpu.ops import huffman as dh2
+    hch = np.frombuffer(data[:1024 * dans.CHUNK], np.uint8).reshape(
+        -1, dans.CHUNK)
+    hhist = dans.histogram_host(hch)
+    hcj = jnp.asarray(hch)
+    hhj = jnp.asarray(hhist)
+    henc = partial(dh2.huffman_encode_chunks, use_pallas=dans._on_tpu())
+    out_h = henc(hcj, hhj)
+    _ = np.asarray(out_h[3][0])
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out_h = henc(hcj, hhj)
+        _ = np.asarray(out_h[3][0])
+        best = min(best, time.perf_counter() - t0)
+    res["huffman_encode_MBps"] = hch.size / 1e6 / best
+
+    # device BWT forward (sort-based suffix array), one 1 MiB block
+    try:
+        from kanzi_tpu.ops import bwt as dbwt
+        bblock = np.frombuffer(data[:1 << 20], np.uint8)
+        dbwt.bwt_forward(bblock, 8)
+        best = float("inf")
+        for _i in range(2):
+            t0 = time.perf_counter()
+            out_b, idx_b = dbwt.bwt_forward(bblock, 8)
+            best = min(best, time.perf_counter() - t0)
+        res["bwt_forward_1MiB_MBps"] = len(bblock) / 1e6 / best
+    except Exception:
+        res["bwt_forward_1MiB_MBps"] = None
+
     # order-1 ANS encode pipeline (bilinear MXU gather + lane scan)
     from kanzi_tpu.ops import ans1 as d1
     from kanzi_tpu.utils import native

@@ -474,13 +474,29 @@ class CompressedWriter:
     def write(self, data) -> int:
         if self._closed:
             raise KanziError("Stream closed", Error.ERR_WRITE_FILE)
-        data = bytes(data)
-        self._pending += data
-        while len(self._pending) >= self.block_size:
-            block = self._pending[:self.block_size]
-            del self._pending[:self.block_size]
-            self._emit_block(np.frombuffer(bytes(block), dtype=np.uint8))
-        return len(data)
+        n = len(data)
+        # zero-copy fast path: whole blocks are viewed straight out of
+        # the caller's buffer instead of round-tripping through the
+        # pending bytearray (2 fewer full copies of the input)
+        view = memoryview(data)
+        pos = 0
+        if self._pending:
+            need = self.block_size - len(self._pending)
+            if n < need:
+                self._pending += view
+                return n
+            self._pending += view[:need]
+            pos = need
+            block = bytes(self._pending)
+            self._pending.clear()
+            self._emit_block(np.frombuffer(block, dtype=np.uint8))
+        while n - pos >= self.block_size:
+            self._emit_block(np.frombuffer(
+                view[pos:pos + self.block_size], dtype=np.uint8))
+            pos += self.block_size
+        if pos < n:
+            self._pending += view[pos:]
+        return n
 
     def _emit_block(self, block: np.ndarray) -> None:
         self._block_queue.append(block)

@@ -17,7 +17,10 @@ Layout:
 
 import os as _os
 
-ENABLED = True
+# KANZI_TPU_DISABLE=1 forces the pure host (native C++/numpy) path —
+# handy for CLI verification and for hosts where device compiles are
+# slower than the job itself.
+ENABLED = not _os.environ.get("KANZI_TPU_DISABLE")
 
 
 def _setup_compilation_cache() -> None:

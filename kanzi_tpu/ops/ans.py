@@ -558,49 +558,47 @@ def ans0_encode_chunks_padded(chunks: jnp.ndarray):
 # whole 4096-step loop on-core
 # ---------------------------------------------------------------------------
 
-_DEC_G = 8
+_DEC_G = 64
 
 
-def _ans0_decode_kernel(vt4_ref, fc_ref, st_ref, pay_ref, out_ref, cur_ref,
-                        win_ref, base_ref):
-    """Decode G chunks x 4 interleaved lanes, 4096 steps, gather-only
-    (no cross-lane reductions in the loop).
+def _ans0_decode_kernel(bm_ref, r0_ref, pk_ref, st_ref, pay_ref,
+                        out_ref, cur_ref, win_ref, base_ref):
+    """Decode G chunks x 4 interleaved lanes, 4096 steps.
 
-    vt4_ref [G,1024] u32: per-VALUE symbol table, 4 symbols packed per
-    word (entry i covers residues v = 4i..4i+3) -- packing shrinks the
-    dominant gather cascade from 32 subtables to 8; fc_ref [G,256] u32:
-    per-symbol f<<12 | cumExc; st_ref [G,128] u32 (lanes 0-3 = states);
-    pay_ref [G,W] i32 (big-endian byte pair per entry, cursor counts
-    pairs); out_ref [G, STEPS] i32 (4 symbols word-packed little-endian
-    per step); cur_ref [G,128] i32 (lane 0 = pairs consumed). Scratch:
-    win_ref [G,256] i32 sliding payload window, base_ref [G,128] i32
-    (lane 0 = window base, multiple of 128)."""
+    Table scheme (6 one-vreg gathers per step vs 12 for the old
+    subtable cascade): the 4096-residue freq->symbol map is summarized
+    by 128 windows of 32 residues. bm_ref [G,128] u32: new-symbol
+    boundary bitmap per window (bit j: residue 32h+j starts a new
+    symbol; bit 0 cleared); r0_ref [G,128] i32: the alphabet RANK of
+    the window's first residue. rank = r0[v>>5] + popcount(bm[v>>5] &
+    mask(v&31)) indexes pk_ref [G,256] u32 = sym | f<<8 | cumExc<<20
+    (one packed word holds everything the step needs -- symbols need
+    not be consecutive, ranks are). pay_ref [G,W] i32 (big-endian byte
+    pair per entry). The 256-pair payload window is refilled
+    UNCONDITIONALLY every 32 steps by segment-select accumulation --
+    no vector->scalar element reads anywhere (worst-case drain 4
+    pairs/chunk/step = 128 per block; base = cur & ~127 keeps every
+    in-block read < 256).
+    """
     g = st_ref.shape[0]
+    nseg = pay_ref.shape[1] // 128
     lanes = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
     lane_live = lanes < 4
 
-    # init sliding windows
-    win_ref[:] = pay_ref[:, :256]
-    base_ref[:] = jnp.zeros((g, 128), jnp.int32)
-
-    def step(t, carry):
-        st, cur, outtile = carry              # [g,128] u32, [g,1], [g,128]
+    def one_step(t, st, cur, outtile):
         v = (st & MASK).astype(jnp.int32)
-        i4 = v >> 2
-        sub = i4 >> 7
-        vi = i4 & 127
-        acc = jnp.take_along_axis(vt4_ref[:, :128], vi, axis=1)
-        for k in range(1, 8):
-            gk = jnp.take_along_axis(vt4_ref[:, k * 128:(k + 1) * 128],
-                                     vi, axis=1)
-            acc = jnp.where(sub == k, gk, acc)
-        sym = ((acc >> ((v & 3) << 3).astype(jnp.uint32))
-               & 0xFF).astype(jnp.int32)
-        fchi = jnp.take_along_axis(fc_ref[:, :128], sym & 127, axis=1)
-        fclo = jnp.take_along_axis(fc_ref[:, 128:], sym & 127, axis=1)
-        fc = jnp.where(sym < 128, fchi, fclo)
-        fs = fc >> 12
-        exc = fc & 0xFFF
+        hi = v >> 5
+        lo = (v & 31).astype(jnp.uint32)
+        b = jnp.take_along_axis(bm_ref[:], hi, axis=1)
+        r0 = jnp.take_along_axis(r0_ref[:], hi, axis=1)
+        msk = jnp.uint32(0xFFFFFFFF) >> (jnp.uint32(31) - lo)
+        rank = r0 + jax.lax.population_count(b & msk).astype(jnp.int32)
+        phi = jnp.take_along_axis(pk_ref[:, :128], rank & 127, axis=1)
+        plo = jnp.take_along_axis(pk_ref[:, 128:], rank & 127, axis=1)
+        pk = jnp.where(rank < 128, phi, plo)
+        sym = (pk & 0xFF).astype(jnp.int32)
+        fs = ((pk >> 8) & 0xFFF).astype(jnp.uint32)
+        exc = (pk >> 20).astype(jnp.uint32)
         st2 = fs * (st >> LOG_RANGE) + (st & MASK) - exc
         flag = (st2 < ANS_TOP) & lane_live
         fi = flag.astype(jnp.int32)
@@ -609,8 +607,7 @@ def _ans0_decode_kernel(vt4_ref, fc_ref, st_ref, pay_ref, out_ref, cur_ref,
         offs0 = fl[3] + fl[2] + fl[1]
         offs1 = fl[3] + fl[2]
         offs2 = fl[3]
-        # per-lane window index: idx[:, l] = rel + suffix-offset(l)
-        rel = cur - base_ref[:, :1]                       # [g,1]
+        rel = cur - base_ref[:, :1]                     # [g,1], < 256
         idx = rel + jnp.where(lanes == 0, offs0,
                               jnp.where(lanes == 1, offs1,
                                         jnp.where(lanes == 2, offs2, 0)))
@@ -621,45 +618,55 @@ def _ans0_decode_kernel(vt4_ref, fc_ref, st_ref, pay_ref, out_ref, cur_ref,
         pairs = jnp.where(lo_half, w0, w1)
         st3 = jnp.where(flag, (st2 << 16) | pairs.astype(jnp.uint32), st2)
         cur = cur + fl[0] + fl[1] + fl[2] + fl[3]
-
-        # round-robin window refill, one row every 4 steps: a row is
-        # visited every 4g steps and consumes <= 2 pairs/step -> at most
-        # 8g = 64 pairs between visits, so rel <= 127 + 64 and the
-        # gather index rel+3 stays < 256. when-conditions are evaluated
-        # every step, so the outer cond must be pure-t: the scalar read
-        # of a vector element (cur[r,0]) costs ~1 us and dominates the
-        # step budget — nesting keeps it at 1 per 4 steps instead of G
-        # per step.
-        for r in range(g):
-            @pl.when(((t & 3) == 0) & (((t >> 2) & (g - 1)) == r))
-            def _(r=r):
-                @pl.when(cur[r, 0] - base_ref[r, 0] >= 128)
-                def _():
-                    newb = base_ref[r, 0] + 128
-                    win_ref[r:r + 1, :128] = win_ref[r:r + 1, 128:]
-                    win_ref[r:r + 1, 128:] = pay_ref[
-                        pl.ds(r, 1),
-                        pl.ds(pl.multiple_of(newb + 128, 128), 128)]
-                    base_ref[r:r + 1, :] = jnp.full((1, 128), newb,
-                                                    jnp.int32)
-
-        # pack this step's 4 symbols into one little-endian word
         word = (sym[:, 3:4] | (sym[:, 2:3] << 8) | (sym[:, 1:2] << 16)
                 | (sym[:, 0:1] << 24))
-        outtile = jnp.where(lanes == (t & 127), word, outtile)
+        # arithmetic accumulate (each lane written once per 128-step
+        # window, tile zeroed in between): avoids a select_n broadcast
+        # that Mosaic miscompiles at larger G
+        outtile = outtile + word * (lanes == (t & 127)).astype(jnp.int32)
+        return st3, cur, outtile
 
-        @pl.when((t & 127) == 127)
+    def block(ob, carry):
+        # outer loop body: the refill runs HERE, genuinely once per 32
+        # steps -- a pl.when body is PREDICATED (its ops execute every
+        # step with masked effects), which made the segment-select loop
+        # the dominant per-step cost when it lived under a when
+        st, cur, outtile = carry
+        nb = cur & ~jnp.int32(127)
+        s0w = nb >> 7                                     # [g,1]
+        w0 = jnp.zeros((g, 128), jnp.int32)
+        w1 = jnp.zeros((g, 128), jnp.int32)
+        for k in range(nseg):
+            seg = pay_ref[:, k * 128:(k + 1) * 128]
+            m0 = (s0w == k).astype(jnp.int32)             # [g,1] mask
+            w0 = w0 + seg * m0
+            if k >= 1:
+                m1 = (s0w == k - 1).astype(jnp.int32)
+                w1 = w1 + seg * m1
+        win_ref[:, :128] = w0
+        win_ref[:, 128:] = w1
+        base_ref[:] = nb * jnp.ones((g, 128), jnp.int32)
+
+        def inner(j, c2):
+            st2_, cur2_, tile2_ = c2
+            return one_step(ob * 32 + j, st2_, cur2_, tile2_)
+
+        st, cur, outtile = jax.lax.fori_loop(0, 32, inner,
+                                             (st, cur, outtile))
+
+        @pl.when((ob & 3) == 3)
         def _():
-            off = pl.multiple_of((t >> 7) << 7, 128)
+            off = pl.multiple_of((ob >> 2) << 7, 128)
             out_ref[:, pl.ds(off, 128)] = outtile
 
-        outtile = jnp.where((t & 127) == 127, 0, outtile)
-        return st3, cur, outtile
+        outtile = outtile * (1 - ((ob & 3) == 3).astype(jnp.int32))
+        return st, cur, outtile
 
     st0 = st_ref[:]
     cur0 = jnp.zeros((g, 1), jnp.int32)
     tile0 = jnp.zeros((g, 128), jnp.int32)
-    st, cur, _tile = jax.lax.fori_loop(0, STEPS, step, (st0, cur0, tile0))
+    st, cur, _tile = jax.lax.fori_loop(0, STEPS // 32, block,
+                                       (st0, cur0, tile0))
     cur_ref[:] = jnp.where(lanes == 0, cur, 0)
 
 
@@ -668,13 +675,13 @@ from functools import lru_cache
 
 @lru_cache(maxsize=16)
 def _decode_pallas_fn(c: int, wpad: int):
-    G = _DEC_G
+    G = min(_DEC_G, c)          # bucketed c is pow2 (>=8) or mult of 256
     fn = pl.pallas_call(
         _ans0_decode_kernel,
         grid=(c // G,),
         in_specs=[
-            pl.BlockSpec((G, SCALE // 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, wpad), lambda i: (i, 0),
@@ -703,10 +710,27 @@ def _decode_pallas_fn(c: int, wpad: int):
         vt = jnp.zeros((c, SCALE + 1), jnp.uint32).at[
             rows, pos].set(syms, mode="drop")[:, :SCALE]
         vt = jax.lax.cummax(vt, axis=1)
-        # 4 symbols per word: entry i covers residues 4i..4i+3
-        vt4 = (vt[:, 0::4] | (vt[:, 1::4] << 8) | (vt[:, 2::4] << 16)
-               | (vt[:, 3::4] << 24))
-        fc = (f << 12) | cum_exc                          # [C,256]
+        # bitmap summary: 128 windows x 32 residues; bit j of window h =
+        # "residue 32h+j starts a new symbol". popcount yields the
+        # alphabet RANK (symbols need not be consecutive), which indexes
+        # the packed per-rank table sym | f<<8 | cum<<20.
+        prev = jnp.concatenate([vt[:, :1], vt[:, :-1]], axis=1)
+        boundary = (vt != prev).astype(jnp.uint32)        # [C,4096]
+        rankv = jnp.cumsum(boundary, axis=1)              # rank per residue
+        r0t = rankv[:, 0::32].astype(jnp.int32)           # [C,128]
+        bits = boundary.reshape(c, 128, 32)
+        # bit 0 of each window is baked into r0 -- don't double-count
+        bits = bits.at[:, :, 0].set(0)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        bm = (bits * weights[None, None, :]).sum(axis=2).astype(jnp.uint32)
+        # per-rank packed table: rank r -> sym | f<<8 | cumExc<<20
+        present = f > 0
+        ranks_sym = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1
+        pk_val = (syms | (f << 8)
+                  | (cum_exc << 20)).astype(jnp.uint32)
+        tgt = jnp.where(present, ranks_sym, 256)
+        pk = jnp.zeros((c, 257), jnp.uint32).at[
+            rows, tgt].set(pk_val, mode="drop")[:, :256]
         st = jnp.zeros((c, 128), jnp.uint32).at[:, :4].set(states_u32)
 
         # slice each chunk's payload row out of the compact byte stream
@@ -717,7 +741,7 @@ def _decode_pallas_fn(c: int, wpad: int):
         _, prows = jax.lax.scan(take_row, None, off_bytes)       # [C, rowb]
         pay32 = ((prows[:, 0::2].astype(jnp.int32) << 8)
                  | prows[:, 1::2].astype(jnp.int32))
-        out, cur = fn(vt4, fc, st, pay32)
+        out, cur = fn(bm, r0t, pk, st, pay32)
         return out, cur[:, 0]
 
     return run
@@ -741,7 +765,17 @@ def ans0_decode_flat(freqs: np.ndarray, states: np.ndarray,
         off_bytes = np.concatenate(
             [off_bytes.astype(np.int32),
              np.zeros(pad, np.int32)])
-    wpad = -(-(PAYLOAD_MAX // 2 + 2 + 384) // 128) * 128
+    # window sized to the batch's actual max payload (fewer refill
+    # segments for compressible data), bucketed to bound recompiles
+    if c > 0:
+        sizes_b = np.diff(np.concatenate(
+            [off_bytes.astype(np.int64),
+             [len(np.asarray(flat_pay))]]))
+        need = int(max(2, sizes_b.max())) // 2 + 2 + 384
+    else:
+        need = 512
+    need = -(-need // 2048) * 2048
+    wpad = min(need, -(-(PAYLOAD_MAX // 2 + 2 + 384) // 128) * 128)
     rowb = 2 * wpad
     flat_pay = np.concatenate([np.asarray(flat_pay, np.uint8),
                                np.zeros(rowb, np.uint8)])

@@ -304,45 +304,37 @@ def _pack_huff_headers(sizes, m, ok, frag_bits):
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_DEC_G = 8
+_DEC_G = 64
 _WIN = 256          # overlapped 32-bit words per fragment window
 # per-fragment payload row: <= 12*FRAG bits = 3072 pairs, + window margin
 _FRAG_WPAD = -(-(12 * FRAG // 16 + _WIN + 256) // 128) * 128
 
 
-def _huff_decode_kernel(vt4_ref, ln8_ref, bp_ref, pay_ref, out_ref, win_ref,
-                        base_ref):
-    """Decode G chunks x 4 fragment lanes, FRAG steps (one symbol per lane
-    per step).
+def _huff_decode_kernel(bm_ref, r0_ref, pk_ref, bp_ref, pay_ref,
+                        out_ref, win_ref, base_ref):
+    """Decode G chunks x 4 fragment lanes, FRAG steps (one symbol per
+    lane per step).
 
-    vt4_ref [G,1024] u32: flat-table SYMBOLS, 4 per word (entry i covers
-    12-bit prefixes 4i..4i+3); ln8_ref [G,512] u32: flat-table code
-    LENGTHS, 8 nibbles per word -- the packing shrinks the dominant
-    gather cascade from 32 subtables to 8+4; bp_ref [G,128] i32 (lanes
-    0-3 = initial bit cursors, normally 0); pay_ref [G, 4*_FRAG_WPAD]
-    i32: per-fragment big-endian byte pairs, fragment f at
-    [f*_FRAG_WPAD:]; out_ref [G, FRAG] i32 (4 symbols word-packed
-    little-endian per step, byte k = fragment k). Scratch: win_ref
-    [G, 4*_WIN] i32 overlapped words (win[i] = pair[i]<<16 | pair[i+1]),
-    base_ref [G,128] i32 (lanes 0-3 = per-fragment window base, pairs).
-
-    Consumption <= 12 bits/step/lane (<1 pair); each (row,lane) window is
-    visited every 4G=32 steps (<=24 pairs consumed between visits), one
-    128-pair shift per visit keeps rel < 152 < _WIN."""
+    Canonical-Huffman flat tables have the same piecewise-constant
+    structure as the ANS freq->symbol map, so the same bitmap scheme
+    applies: bm_ref [G,128] u32 = new-code boundary bitmap per 32-prefix
+    window (bit 0 cleared), r0_ref [G,128] i32 = rank of the window's
+    first prefix, and rank indexes pk_ref [G,256] u32 = sym | len<<8.
+    bp_ref [G,128] i32: lanes 0-3 = bit cursors. pay_ref
+    [G, 4*_FRAG_WPAD] i32 byte pairs, fragment f at [f*_FRAG_WPAD:].
+    win_ref [G, 4*_WIN] i32: per-fragment windows of OVERLAPPED words
+    (win[i] = pair[base+i]<<16 | pair[base+i+1]), base multiple of 128,
+    refilled UNCONDITIONALLY every 32 steps by segment-select
+    accumulation (no vector->scalar reads; drain <= 12 bits/step/lane
+    = 24 pairs per block, so rel < 128 + 24 stays inside _WIN=256).
+    base_ref [G,128] i32: lanes 0-3 = per-fragment window base (pairs).
+    """
     g = bp_ref.shape[0]
+    nseg = _FRAG_WPAD // 128
     lanes = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
     frag_lane = jnp.minimum(lanes, 3)
 
-    # init windows: overlapped words from each fragment's first pairs
-    for f in range(4):
-        p = pay_ref[:, f * _FRAG_WPAD:f * _FRAG_WPAD + _WIN + 128]
-        p1 = pltpu.roll(p, p.shape[1] - 1, axis=1)   # p shifted left by 1
-        win_ref[:, f * _WIN:(f + 1) * _WIN] = (
-            (p[:, :_WIN] << 16) | (p1[:, :_WIN] & 0xFFFF))
-    base_ref[:] = jnp.zeros((g, 128), jnp.int32)
-
-    def step(t, carry):
-        bp, outtile = carry                   # [g,128] i32, [g,128] i32
+    def one_step(t, bp, outtile):
         pidx = bp >> 4
         rel = pidx - base_ref[:]              # [g,128]; live lanes 0-3
         widx = rel + frag_lane * _WIN
@@ -355,66 +347,74 @@ def _huff_decode_kernel(vt4_ref, ln8_ref, bp_ref, pay_ref, out_ref, win_ref,
         v12 = ((word.astype(jnp.uint32)
                 >> (20 - (bp & 15)).astype(jnp.uint32))
                & 0xFFF).astype(jnp.int32)
-        i4 = v12 >> 2
-        vi = i4 & 127
-        acc = jnp.take_along_axis(vt4_ref[:, :128], vi, axis=1)
-        for k in range(1, 8):
-            gk = jnp.take_along_axis(vt4_ref[:, k * 128:(k + 1) * 128],
-                                     vi, axis=1)
-            acc = jnp.where((i4 >> 7) == k, gk, acc)
-        sym = ((acc >> ((v12 & 3) << 3).astype(jnp.uint32))
-               & 0xFF).astype(jnp.int32)
-        i8 = v12 >> 3
-        li = i8 & 127
-        lacc = jnp.take_along_axis(ln8_ref[:, :128], li, axis=1)
-        for k in range(1, 4):
-            lk = jnp.take_along_axis(ln8_ref[:, k * 128:(k + 1) * 128],
-                                     li, axis=1)
-            lacc = jnp.where((i8 >> 7) == k, lk, lacc)
-        ln = ((lacc >> ((v12 & 7) << 2).astype(jnp.uint32))
-              & 0xF).astype(jnp.int32)
+        hi = v12 >> 5
+        lo = (v12 & 31).astype(jnp.uint32)
+        b = jnp.take_along_axis(bm_ref[:], hi, axis=1)
+        r0 = jnp.take_along_axis(r0_ref[:], hi, axis=1)
+        msk = jnp.uint32(0xFFFFFFFF) >> (jnp.uint32(31) - lo)
+        rank = r0 + jax.lax.population_count(b & msk).astype(jnp.int32)
+        phi = jnp.take_along_axis(pk_ref[:, :128], rank & 127, axis=1)
+        plo = jnp.take_along_axis(pk_ref[:, 128:], rank & 127, axis=1)
+        pk = jnp.where(rank < 128, phi, plo)
+        sym = (pk & 0xFF).astype(jnp.int32)
+        ln = (pk >> 8).astype(jnp.int32)
         bp = bp + ln
+        # NESTED byte packing (a flat or-of-shifts chain drops the <<16
+        # term under Mosaic at G >= 16 -- see round-3 notes)
+        word_out = ((((sym[:, 3:4] << 8) | sym[:, 2:3]) << 8
+                     | sym[:, 1:2]) << 8) | sym[:, 0:1]
+        outtile = outtile + word_out * (lanes == (t & 127)).astype(
+            jnp.int32)
+        return bp, outtile
 
-        # round-robin refill: one (row, fragment-lane) per step. The
-        # when-conditions are evaluated every step, so the OUTER cond must
-        # be pure-t (scalar): reading a vector element (bp[r,f]) costs
-        # ~1 us, and nesting it keeps that read at 1 per step instead of
-        # 4*G per step.
-        for r in range(g):
+    def block(ob, carry):
+        # outer loop body: refill runs genuinely once per 32 steps (a
+        # pl.when body would be predicated = executed every step)
+        bp, outtile = carry
+        if True:
+            pidx = bp >> 4
             for f in range(4):
-                @pl.when((((t >> 2) & (g - 1)) == r) & ((t & 3) == f))
-                def _(r=r, f=f):
-                    @pl.when(bp[r, f] // 16 - base_ref[r, f] >= 128)
-                    def _():
-                        newb = base_ref[r, f] + 128
-                        win_ref[r:r + 1,
-                                f * _WIN:(f + 1) * _WIN - 128] = \
-                            win_ref[r:r + 1, f * _WIN + 128:(f + 1) * _WIN]
-                        off = f * _FRAG_WPAD + pl.multiple_of(
-                            newb + _WIN - 128, 128)
-                        p = pay_ref[r:r + 1, pl.ds(off, 256)]
-                        p1 = pltpu.roll(p, 255, axis=1)
-                        win_ref[r:r + 1,
-                                (f + 1) * _WIN - 128:(f + 1) * _WIN] = \
-                            (p[:, :128] << 16) | (p1[:, :128] & 0xFFFF)
-                        base_ref[r:r + 1, f:f + 1] = jnp.broadcast_to(
-                            newb, (1, 1)).astype(jnp.int32)
+                nb = pidx[:, f:f + 1] & ~jnp.int32(127)   # [g,1]
+                s0 = nb >> 7
+                r0s = jnp.zeros((g, 128), jnp.int32)
+                r1s = jnp.zeros((g, 128), jnp.int32)
+                for k in range(nseg):
+                    seg = pay_ref[:, f * _FRAG_WPAD + k * 128:
+                                  f * _FRAG_WPAD + (k + 1) * 128]
+                    m0 = (s0 == k).astype(jnp.int32)
+                    r0s = r0s + seg * m0
+                    if k >= 1:
+                        m1 = (s0 == k - 1).astype(jnp.int32)
+                        r1s = r1s + seg * m1
+                # overlapped words over the 256-pair region; the wrap at
+                # word 255 is never read (rel < 152)
+                shifted0 = pltpu.roll(r0s, 127, axis=1)   # [i] <- r0s[i+1]
+                w0 = (r0s << 16) | (jnp.where(lanes < 127, shifted0,
+                                              r1s[:, 0:1]) & 0xFFFF)
+                shifted1 = pltpu.roll(r1s, 127, axis=1)
+                w1 = (r1s << 16) | (shifted1 & 0xFFFF)
+                win_ref[:, f * _WIN:f * _WIN + 128] = w0
+                win_ref[:, f * _WIN + 128:(f + 1) * _WIN] = w1
+                fm = (lanes == f).astype(jnp.int32)
+                base_ref[:] = base_ref[:] * (1 - fm) + nb * fm
 
-        word_out = (sym[:, 0:1] | (sym[:, 1:2] << 8) | (sym[:, 2:3] << 16)
-                    | (sym[:, 3:4] << 24))
-        outtile = jnp.where(lanes == (t & 127), word_out, outtile)
+        def inner(j, c2):
+            bp2_, tile2_ = c2
+            return one_step(ob * 32 + j, bp2_, tile2_)
 
-        @pl.when((t & 127) == 127)
+        bp, outtile = jax.lax.fori_loop(0, 32, inner, (bp, outtile))
+
+        @pl.when((ob & 3) == 3)
         def _():
-            off = pl.multiple_of((t >> 7) << 7, 128)
+            off = pl.multiple_of((ob >> 2) << 7, 128)
             out_ref[:, pl.ds(off, 128)] = outtile
 
-        outtile = jnp.where((t & 127) == 127, 0, outtile)
+        outtile = outtile * (1 - ((ob & 3) == 3).astype(jnp.int32))
         return bp, outtile
 
     bp0 = bp_ref[:]
     tile0 = jnp.zeros((g, 128), jnp.int32)
-    jax.lax.fori_loop(0, FRAG, step, (bp0, tile0))
+    jax.lax.fori_loop(0, FRAG // 32, block, (bp0, tile0))
 
 
 @partial(jax.jit, static_argnames=("c",))
@@ -423,34 +423,49 @@ def _huff_decode_run(codes_packed, sizes, pay32, c):
     host-parsed headers); pay32 [C, 4*_FRAG_WPAD] i32 byte pairs.
     Returns out [C, FRAG] i32 word-packed symbols."""
     vt = _build_vt(codes_packed, sizes, c)
-    s = (vt >> 4) & 0xFF
-    l8 = vt & 0xF
-    vt4 = s[:, 0::4] | (s[:, 1::4] << 8) | (s[:, 2::4] << 16) \
-        | (s[:, 3::4] << 24)
-    ln8 = l8[:, 0::8]
-    for k in range(1, 8):
-        ln8 = ln8 | (l8[:, k::8] << (4 * k))
+    # bitmap summary of the flat table (see kernel docstring)
+    prev = jnp.concatenate([vt[:, :1], vt[:, :-1]], axis=1)
+    boundary = (vt != prev).astype(jnp.uint32)
+    rankv = jnp.cumsum(boundary, axis=1)
+    r0t = rankv[:, 0::32].astype(jnp.int32)
+    bits = boundary.reshape(c, 128, 32)
+    bits = bits.at[:, :, 0].set(0)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    bm = (bits * weights[None, None, :]).sum(axis=2).astype(jnp.uint32)
+    # per-rank packed table: rank -> sym | len<<8, scattered via the
+    # rank of each entry's FIRST prefix
+    e_sym = (vt >> 4) & 0xFF
+    e_len = vt & 0xF
+    first = boundary.astype(bool) | (jnp.arange(1 << 12)[None, :] == 0)
+    rows = jnp.arange(c, dtype=jnp.int32)[:, None]
+    tgt = jnp.where(first, rankv.astype(jnp.int32), 1 << 12)
+    pk_val = (e_sym | (e_len << 8)).astype(jnp.uint32)
+    pk = jnp.zeros((c, (1 << 12) + 1), jnp.uint32).at[
+        rows, tgt].set(pk_val, mode="drop")[:, :256]
     bp = jnp.zeros((c, 128), jnp.int32)
+    g = min(_DEC_G, c)
     fn = pl.pallas_call(
         _huff_decode_kernel,
-        grid=(c // _DEC_G,),
+        grid=(c // g,),
         in_specs=[
-            pl.BlockSpec((_DEC_G, 1 << 10), lambda i: (i, 0),
+            pl.BlockSpec((g, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_DEC_G, 1 << 9), lambda i: (i, 0),
+            pl.BlockSpec((g, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_DEC_G, 128), lambda i: (i, 0),
+            pl.BlockSpec((g, 256), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_DEC_G, 4 * _FRAG_WPAD), lambda i: (i, 0),
+            pl.BlockSpec((g, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 4 * _FRAG_WPAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_DEC_G, FRAG), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((g, FRAG), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, FRAG), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((_DEC_G, 4 * _WIN), jnp.int32),
-                        pltpu.VMEM((_DEC_G, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((g, 4 * _WIN), jnp.int32),
+                        pltpu.VMEM((g, 128), jnp.int32)],
     )
-    return fn(vt4, ln8, bp, pay32)
+    return fn(bm, r0t, pk, bp, pay32)
 
 
 def _build_vt(codes_packed, sizes, c):

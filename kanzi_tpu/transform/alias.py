@@ -43,10 +43,11 @@ class AliasCodec(ByteTransform):
         from kanzi_tpu.utils import native
         use_native = native.transforms_available()
         if use_native:
-            freqs0, _h1 = native.hist_o01(src)
+            # order-0 only here: the common exits (full alphabet, typed
+            # data) never need the 64K order-1 table, which costs ~3x
+            freqs0 = native.hist_o0(src)
         else:
             freqs0 = np.bincount(src, minlength=256).astype(np.int64)
-            _h1 = None
         absent = np.nonzero(freqs0 == 0)[0].tolist()
         n0 = len(absent)
         if n0 < 16:
@@ -89,8 +90,9 @@ class AliasCodec(ByteTransform):
                     dst += packed.astype(np.uint8).tobytes()
         else:
             # digram mode (freqs1 == order-1 histogram with prev=0 seed)
-            if _h1 is not None:
-                freqs1 = _h1.reshape(-1)
+            if use_native:
+                _, h1 = native.hist_o01(src)
+                freqs1 = h1.reshape(-1)
             else:
                 idx = (src[:-1].astype(np.int64) << 8) | src[1:]
                 freqs1 = np.bincount(idx, minlength=65536).astype(np.int64)

@@ -126,6 +126,8 @@ def _load(name: str):
                 lib.kz_zrlt_inverse.argtypes = [u8p, i64, u8p, i64]
                 lib.kz_hist_o01.restype = None
                 lib.kz_hist_o01.argtypes = [u8p, i64, i64p, i64p]
+                lib.kz_hist_o0.restype = None
+                lib.kz_hist_o0.argtypes = [u8p, i64, i64p]
                 lib.kz_ans0_enc_block.restype = i64
                 lib.kz_ans0_enc_block.argtypes = [u8p, i64, i64,
                                                   ctypes.c_int, u8p, i64]
@@ -675,6 +677,17 @@ def hist_o01(src: np.ndarray):
     lib.kz_hist_o01(_u8ptr(src), len(src),
                     h0.ctypes.data_as(i64p), h1.ctypes.data_as(i64p))
     return h0, h1.reshape(256, 256)
+
+
+def hist_o0(src: np.ndarray):
+    """Order-0 histogram only (freqs0[256] int64) -- ~3x faster than
+    hist_o01 when the order-1 table isn't needed."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    h0 = np.empty(256, np.int64)
+    lib.kz_hist_o0(_u8ptr(src), len(src),
+                   h0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return h0
 
 
 def fsd_forward_delta(src: np.ndarray, dist: int, max_out: int):

@@ -1612,6 +1612,22 @@ void kz_hist_o01(const uint8_t* src, int64_t n, int64_t* h0, int64_t* h1) {
     }
 }
 
+// Order-0 only (AliasCodec's early exit and detectSimpleType need just
+// freqs0; the 64K order-1 pass above is ~3x the cost). 4 sub-tables
+// break the increment dependency chain on the 1-core host.
+void kz_hist_o0(const uint8_t* src, int64_t n, int64_t* h0) {
+    int64_t t0[256] = {0}, t1[256] = {0}, t2[256] = {0}, t3[256] = {0};
+    int64_t i = 0;
+    for (; i + 4 <= n; i += 4) {
+        t0[src[i]]++;
+        t1[src[i + 1]]++;
+        t2[src[i + 2]]++;
+        t3[src[i + 3]]++;
+    }
+    for (; i < n; i++) t0[src[i]]++;
+    for (int c = 0; c < 256; c++) h0[c] = t0[c] + t1[c] + t2[c] + t3[c];
+}
+
 }  // extern "C"
 
 extern "C" {

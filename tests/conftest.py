@@ -3,10 +3,23 @@ without TPU hardware (the driver validates the real-chip path separately)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the harness environment exports JAX_PLATFORMS=axon
+# (real-TPU tunnel), under which the suite would contend for the single
+# chip and pay 10+ min compiles per shape. Tests always run on the
+# virtual CPU mesh; set KANZI_TEST_TPU=1 to opt out.
+#
+# The env var alone is NOT enough: /root/.axon_site/sitecustomize.py
+# imports jax at interpreter startup, so jax's config snapshot of
+# JAX_PLATFORMS is frozen to "axon" before this file runs. Update the
+# live config as well.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("KANZI_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import shutil
 import subprocess
