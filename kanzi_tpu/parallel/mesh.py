@@ -70,6 +70,89 @@ def shard_ans0_encode(chunks: np.ndarray, mesh: Mesh | None = None):
             np.asarray(payload)[:c], np.asarray(plen)[:c])
 
 
+@lru_cache(maxsize=4)
+def _sharded_huff_encode(mesh: Mesh, use_pallas: bool):
+    from functools import partial
+
+    from kanzi_tpu.ops import huffman as dhuff
+    spec = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+    # flat16 (the cross-chunk compacted stream) is replicated: its
+    # construction is a global scatter, so XLA gathers it anyway
+    return jax.jit(
+        partial(dhuff.huffman_encode_chunks, use_pallas=use_pallas),
+        in_shardings=(spec, spec),
+        out_shardings=(spec, spec, spec, spec, rep, spec, spec, spec,
+                       spec),
+    )
+
+
+def shard_huffman_encode(chunks: np.ndarray, mesh: Mesh | None = None):
+    """Huffman-encode [C, 16384] chunks sharded across the mesh. Same
+    numpy contract as ops.huffman.encode_chunks_np."""
+    from kanzi_tpu.ops import huffman as dhuff
+    if mesh is None:
+        mesh = block_mesh()
+    c = chunks.shape[0]
+    b = _pad_to(dhuff._bucket(c), mesh.devices.size)
+    if b != c:
+        chunks = np.concatenate(
+            [chunks, np.zeros((b - c, dhuff.CHUNK), np.uint8)])
+    hist = dhuff.histogram_host(chunks)
+    out = _sharded_huff_encode(mesh, dans._on_tpu())(
+        jnp.asarray(chunks), jnp.asarray(hist))
+    hdr, hdr_bits, ok, m, flat16, npairs, acc, nb, frag_bits = out
+    npairs_np = np.asarray(npairs)[:c]
+    plen16 = npairs_np.sum(1)
+    total16 = int(plen16.sum())
+    flat = np.asarray(flat16)[:total16].view(np.uint8)
+    return (np.asarray(hdr)[:c], np.asarray(hdr_bits)[:c],
+            np.asarray(ok)[:c], np.asarray(m)[:c], flat, npairs_np,
+            np.asarray(acc)[:c], np.asarray(nb)[:c],
+            np.asarray(frag_bits)[:c])
+
+
+@lru_cache(maxsize=4)
+def _sharded_huff_decode(mesh: Mesh, on_tpu: bool, c: int):
+    from functools import partial
+
+    from kanzi_tpu.ops import huffman as dhuff
+    spec = NamedSharding(mesh, P(AXIS))
+    run = dhuff._huff_decode_run if on_tpu else dhuff._huff_decode_xla
+    return jax.jit(partial(run, c=c),
+                   in_shardings=(spec, spec, spec),
+                   out_shardings=spec)
+
+
+def shard_huffman_decode(codes: np.ndarray, sizes: np.ndarray,
+                         frag_pay: np.ndarray, mesh: Mesh | None = None):
+    """Decode full Huffman chunks sharded over the mesh. codes/sizes
+    [C,256], frag_pay [C,4,2*_FRAG_WPAD] u8; returns [C, CHUNK] u8."""
+    from kanzi_tpu.ops import huffman as dhuff
+    if mesh is None:
+        mesh = block_mesh()
+    c = codes.shape[0]
+    b = _pad_to(dhuff._bucket(c), mesh.devices.size)
+    if b != c:
+        pad = b - c
+        codes = np.concatenate([codes, np.tile(
+            dhuff._TRIVIAL_CODES, (pad, 1))]).astype(np.uint32)
+        sizes = np.concatenate([sizes, np.tile(
+            dhuff._TRIVIAL_SIZES, (pad, 1))]).astype(np.int32)
+        frag_pay = np.concatenate(
+            [frag_pay, np.zeros((pad,) + frag_pay.shape[1:], np.uint8)])
+    pay32 = ((frag_pay[:, :, 0::2].astype(np.int32) << 8)
+             | frag_pay[:, :, 1::2].astype(np.int32)).reshape(
+                 b, 4 * dhuff._FRAG_WPAD)
+    out = _sharded_huff_decode(mesh, dans._on_tpu(), b)(
+        jnp.asarray(codes.astype(np.uint32)),
+        jnp.asarray(sizes.astype(np.int32)), jnp.asarray(pay32))
+    out_u8 = np.ascontiguousarray(np.asarray(out[:c])).view(np.uint8)
+    return np.ascontiguousarray(
+        out_u8.reshape(c, dhuff.FRAG, 4).transpose(0, 2, 1)).reshape(
+            c, dhuff.CHUNK)
+
+
 def shard_ans0_decode(freqs: np.ndarray, states: np.ndarray,
                       payload: np.ndarray, mesh: Mesh | None = None):
     """Decode sharded; same padding contract as shard_ans0_encode."""

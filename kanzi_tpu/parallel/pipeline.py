@@ -596,3 +596,212 @@ def decompress_l5_mesh(blob: bytes, mesh=None) -> bytes:
     for bi in range(len(frames)):
         out += np.asarray(host_rows[bi]).tobytes()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Level-2 chain (DNA+LZ & HUFFMAN): host byte automata + mesh entropy
+# (VERDICT r2 item 7: a second level chain on the mesh)
+# ---------------------------------------------------------------------------
+
+CHAIN_L2 = "DNA+LZ"
+ENTROPY_L2 = "HUFFMAN"
+
+
+def prepare_huffman_batch_mesh(states: list, mesh) -> None:
+    """Mesh-sharded variant of compressed_stream.prepare_huffman_batch:
+    every eligible block's full 16 KiB chunks go through ONE sharded
+    Huffman encode call."""
+    from kanzi_tpu.io.compressed_stream import (COPY_BLOCK_MASK,
+                                                HUFFMAN_TYPE)
+    from kanzi_tpu.parallel.mesh import shard_huffman_encode
+
+    elig = [st for st in states
+            if st["e_type"] == HUFFMAN_TYPE
+            and not (st["mode"] & COPY_BLOCK_MASK)
+            and st["post_len"] >= 16384]
+    if not elig:
+        return
+    counts = [st["post_len"] // 16384 for st in elig]
+    chunks = np.concatenate(
+        [st["out"][:k * 16384].reshape(k, 16384)
+         for st, k in zip(elig, counts)])
+    (hdr, hdr_bits, ok, m, flat, npairs,
+     acc, nb, frag_bits) = shard_huffman_encode(chunks, mesh)
+    plen16 = npairs.sum(1)
+    offs16 = np.cumsum(plen16) - plen16
+    pos = 0
+    for st, k in zip(elig, counts):
+        sl = slice(pos, pos + k)
+        fstart = 2 * int(offs16[pos])
+        fend = 2 * int(offs16[pos + k - 1] + plen16[pos + k - 1])
+        st["prepared_entropy"] = (hdr[sl], hdr_bits[sl], ok[sl], m[sl],
+                                  flat[fstart:fend], npairs[sl],
+                                  acc[sl], nb[sl], frag_bits[sl])
+        pos += k
+
+
+def compress_l2_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
+    """Full level-2 container: the DNA alias + LZ stages are sequential
+    host byte automata (match-finder hash table evolves with the parse —
+    the reference runs them one thread per block,
+    src/io/CompressedOutputStream.cpp:476-540); the Huffman entropy stage
+    is sharded over the mesh in one device call. Byte-identical to the
+    host writer."""
+    from kanzi_tpu.entropy.factory import entropy_name_to_type
+    from kanzi_tpu.io.compressed_stream import (CompressedWriter,
+                                                _encode_block_phase1,
+                                                _encode_block_phase2)
+    from kanzi_tpu.transform.factory import transform_name_to_type
+
+    if mesh is None:
+        mesh = block_mesh()
+    n = block_size
+    sink = _pyio.BytesIO()
+    w = CompressedWriter(sink, transform=CHAIN_L2, entropy=ENTROPY_L2,
+                         block_size=n, original_size=len(data))
+    t_type = transform_name_to_type(CHAIN_L2)
+    e_type = entropy_name_to_type(ENTROPY_L2)
+
+    states = []
+    pos = 0
+    b = 0
+    while pos < len(data):
+        block = np.frombuffer(data[pos:pos + n], np.uint8)
+        st = _encode_block_phase1(
+            block, b + 1, w.ctx, t_type, e_type,
+            slot_caps=w._slot_caps[b % w.jobs])
+        states.append(st)
+        pos += n
+        b += 1
+
+    prepare_huffman_batch_mesh(states, mesh)
+    w._write_header()
+    for st in states:
+        payload, bits = _encode_block_phase2(st)
+        w._commit(payload, bits)
+    w._obs.write_bits(0, 5)
+    w._obs.write_bits(0, 3)
+    w.out.write(w._obs.getvalue())
+    w._closed = True
+    return sink.getvalue()
+
+
+def _parse_huffman_block(payload: bytes, bits: int, block_size: int, ctx):
+    """Host parse of one block's framing + Huffman chunk records.
+    Returns (pre_len, skip_flags, records, tails) with records =
+    (start, sizes[256], codes[256], frag_pay [4, row] u8) per full
+    16 KiB chunk, or None when the block needs the host path."""
+    from kanzi_tpu.bitstream import BitReader
+    from kanzi_tpu.entropy.huffman import HuffmanDecoder
+
+    ibs = BitReader(payload)
+    mode = ibs.read_bits(8)
+    if mode & 0x80:                                   # copy block
+        return None
+    if mode & 0x10:
+        skip_flags = ibs.read_bits(8)
+    else:
+        skip_flags = ((mode << 4) | 0x0F) & 0xFF
+    data_size = 1 + ((mode >> 5) & 0x03)
+    pre_len = ibs.read_bits(8 * data_size)
+    if pre_len <= 32:                                 # raw-bytes path
+        return None
+
+    hd = HuffmanDecoder.__new__(HuffmanDecoder)
+    hd.ibs = ibs
+    hd.ctx = ctx
+    hd.chunk_size = 16384
+
+    records = []
+    tails = []
+    start = 0
+    while start < pre_len:
+        size = min(16384, pre_len - start)
+        if size < 32:
+            tails.append((start, np.frombuffer(ibs.read_bytes(size),
+                                               np.uint8)))
+            start += size
+            continue
+        alphabet, sizes, codes = hd._read_lengths()
+        if len(alphabet) == 0:
+            return None                               # truncating stream
+        if len(alphabet) == 1:
+            tails.append((start, np.full(size, alphabet[0], np.uint8)))
+        elif size == 16384:
+            records.append((start, sizes, codes, hd._read_fragments()))
+        else:
+            out = np.empty(size, np.uint8)
+            hd._decode_chunk(out, 0, size, alphabet, sizes, codes)
+            tails.append((start, out))
+        start += size
+    return pre_len, skip_flags, records, tails
+
+
+def decompress_l2_mesh(blob: bytes, mesh=None) -> bytes:
+    """Level-2 container decode: Huffman entropy batched ACROSS blocks in
+    one sharded device call; LZ/DNA inverses run on host per block."""
+    from kanzi_tpu.io.compressed_stream import (CompressedReader,
+                                                decode_block)
+    from kanzi_tpu.parallel.mesh import shard_huffman_decode
+    from kanzi_tpu.transform.factory import new_transform
+
+    if mesh is None:
+        mesh = block_mesh()
+    r = CompressedReader(blob)
+    n = r.block_size
+
+    frames = []
+    while True:
+        lr_ = 3 + r.ibs.read_bits(5)
+        bits = r.ibs.read_bits(lr_)
+        if bits == 0:
+            break
+        nbytes = (bits + 7) >> 3
+        payload = (r.ibs.read_bytes(nbytes - 1) if bits & 7
+                   else r.ibs.read_bytes(nbytes))
+        if bits & 7:
+            tail = r.ibs.read_bits(bits & 7)
+            payload += bytes([(tail << (8 - (bits & 7))) & 0xFF])
+        frames.append((payload, bits))
+
+    parsed = []
+    all_recs = []
+    for payload, bits in frames:
+        p = (None if r.checksum_bits
+             else _parse_huffman_block(payload, bits, n, r.ctx))
+        parsed.append(p)
+        if p is not None:
+            all_recs.extend(p[2])
+
+    chunk_out = {}
+    if all_recs:
+        codes_np = np.stack([np.asarray(rc[2], np.int64) & 0xFFF
+                             for rc in all_recs]).astype(np.uint32)
+        sizes_np = np.stack([np.asarray(rc[1], np.int64)
+                             for rc in all_recs]).astype(np.int32)
+        pay = np.stack([rc[3] for rc in all_recs])
+        dec = shard_huffman_decode(codes_np, sizes_np, pay, mesh)
+        chunk_out = {id(rc): dec[i] for i, rc in enumerate(all_recs)}
+
+    out = bytearray()
+    for bi, ((payload, bits), p) in enumerate(zip(frames, parsed)):
+        if p is None:
+            out += np.asarray(
+                decode_block(payload, bits, bi + 1, r.ctx,
+                             r.transform_type, r.entropy_type,
+                             r.block_size, r.checksum_bits)).tobytes()
+            continue
+        pre_len, skip_flags, records, tails = p
+        ebuf = np.empty(pre_len, np.uint8)
+        for start, arr in tails:
+            ebuf[start:start + len(arr)] = arr
+        for rc in records:
+            ebuf[rc[0]:rc[0] + 16384] = chunk_out[id(rc)]
+        bctx = r.ctx.copy()
+        bctx.put("blockId", bi + 1)
+        bctx.put("size", pre_len)
+        bctx.put("_decodeCapacity", max(n, (bits + 7) >> 3))
+        transform = new_transform(bctx, r.transform_type)
+        transform.skip_flags = skip_flags
+        out += np.asarray(transform.inverse(ebuf)).tobytes()
+    return bytes(out)
