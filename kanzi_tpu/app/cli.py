@@ -218,7 +218,7 @@ def decompress_file(in_path, out_path, args, verbose=1):
             kwargs["from_block"] = args.from_block
         if args.to_block is not None:
             kwargs["to_block"] = args.to_block
-        for block in r.read_blocks(**kwargs):
+        for block in r.read_blocks_np(**kwargs):
             dst.write(block)
             written += len(block)
     finally:

@@ -86,6 +86,52 @@ class StreamingBitReader:
                | (arr[1:] >> np.uint8(8 - r))).astype(np.uint8)
         return out.tobytes()
 
+    def read_bytes_np(self, count: int) -> np.ndarray:
+        """Array variant of read_bytes (copies out of the sliding
+        window; the window may be trimmed after this returns)."""
+        self._ensure(8 * count)
+        pos = self._pos
+        self._pos = pos + 8 * count
+        i = (pos >> 3) - self._base
+        if (pos & 7) == 0:
+            return np.frombuffer(self._buf, np.uint8, count, i).copy()
+        r = pos & 7
+        have = len(self._buf) - i
+        if have >= count + 1:
+            a = np.frombuffer(self._buf, np.uint8, count + 1, i)
+        else:
+            a = np.zeros(count + 1, np.uint8)
+            a[:have] = np.frombuffer(self._buf, np.uint8, have, i)
+        return ((a[:-1] << np.uint8(r))
+                | (a[1:] >> np.uint8(8 - r))).astype(np.uint8)
+
+    def read_payload(self, bits: int) -> np.ndarray:
+        """Block-payload read, same contract as BitReader.read_payload
+        (uint8 array of (bits+7)//8 bytes, final byte's low bits
+        zeroed)."""
+        if bits <= 0:
+            return np.zeros(0, np.uint8)
+        self._ensure(bits)
+        pos = self._pos
+        nbytes = (bits + 7) >> 3
+        r = pos & 7
+        i = (pos >> 3) - self._base
+        if r == 0:
+            arr = np.frombuffer(self._buf, np.uint8, nbytes, i).copy()
+        else:
+            have = len(self._buf) - i
+            if have >= nbytes + 1:
+                a = np.frombuffer(self._buf, np.uint8, nbytes + 1, i)
+            else:
+                a = np.zeros(nbytes + 1, np.uint8)
+                a[:have] = np.frombuffer(self._buf, np.uint8, have, i)
+            arr = ((a[:-1] << np.uint8(r))
+                   | (a[1:] >> np.uint8(8 - r))).astype(np.uint8)
+        if bits & 7:
+            arr[nbytes - 1] &= (0xFF << (8 - (bits & 7))) & 0xFF
+        self._pos = pos + bits
+        return arr
+
     def tell(self) -> int:
         return self._pos
 

@@ -443,7 +443,7 @@ class ANSRangeDecoder(EntropyDecoder):
 
     def decode(self, count: int) -> np.ndarray:
         if count <= 32:
-            return np.frombuffer(self.ibs.read_bytes(count), dtype=np.uint8)
+            return self.ibs.read_bytes_np(count).copy()
         out = np.empty(count, dtype=np.uint8)
         device_ok = (self.order == 0 and self.chunk_size == 16384
                      and count >= 16384 and _device_ans_enabled())

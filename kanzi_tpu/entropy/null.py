@@ -16,4 +16,4 @@ class NullEntropyEncoder(EntropyEncoder):
 
 class NullEntropyDecoder(EntropyDecoder):
     def decode(self, count: int) -> np.ndarray:
-        return np.frombuffer(self.ibs.read_bytes(count), dtype=np.uint8)
+        return self.ibs.read_bytes_np(count)

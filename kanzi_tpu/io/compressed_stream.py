@@ -37,6 +37,26 @@ from kanzi_tpu.entropy import factory as efactory
 from kanzi_tpu.transform import factory as tfactory
 from kanzi_tpu.transform.sequence import SKIP_MASK
 
+def _alloc_bytes_buffer(n: int):
+    """(result_bytes, writable uint8 view) — an uninitialized bytes
+    object plus an ndarray aliasing its buffer. The caller fills the
+    view completely before handing `result` to anyone (same pattern a C
+    extension uses with PyBytes_FromStringAndSize(NULL, n))."""
+    import ctypes
+    try:
+        fn = ctypes.pythonapi.PyBytes_FromStringAndSize
+        fn.restype = ctypes.py_object
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+        result = fn(None, n)
+        ptr = ctypes.cast(ctypes.c_char_p(result),
+                          ctypes.POINTER(ctypes.c_uint8))
+        view = np.ctypeslib.as_array(ptr, shape=(n,))
+        return result, view
+    except Exception:                         # non-CPython fallback
+        view = np.empty(n, np.uint8)
+        return None, view
+
+
 MAGIC = 0x4B414E5A
 FORMAT_VERSION = 6
 MIN_BLOCK_SIZE = 1024
@@ -708,19 +728,45 @@ class CompressedReader:
 
     def read_all(self, from_block: int = 1, to_block: int = MAX_BLOCK_ID) -> bytes:
         """Decode every block in order; supports --from/--to block ranges
-        (CompressedInputStream.cpp:836-867)."""
-        out = bytearray()
-        for data in self.read_blocks(from_block, to_block):
-            out += data
-        return bytes(out)
+        (CompressedInputStream.cpp:836-867). When the header carries the
+        original size (full-range decode), the output buffer is
+        preallocated — no bytearray growth reallocs."""
+        total = self.output_size
+        if total and from_block == 1 and to_block == MAX_BLOCK_ID:
+            # decode straight into the result bytes' buffer (filled
+            # before the object is ever exposed) — skips the final
+            # full-size copy a bytearray/ndarray staging would need
+            result, out = _alloc_bytes_buffer(total)
+            pos = 0
+            gen = self.read_blocks_np(from_block, to_block)
+            for data in gen:
+                if pos + data.size > total:      # lying header: fall back
+                    rest = [np.array(out[:pos]), data] + list(gen)
+                    return np.concatenate(rest).tobytes()
+                out[pos:pos + data.size] = data
+                pos += data.size
+            if pos == total and result is not None:
+                return result
+            return out[:pos].tobytes()
+        chunks = list(self.read_blocks_np(from_block, to_block))
+        if not chunks:
+            return b""
+        return np.concatenate(chunks).tobytes()
 
     def read_blocks(self, from_block: int = 1, to_block: int = MAX_BLOCK_ID):
-        """Yield decoded blocks in order (streaming decode: with a
-        file-object source and a consumer that writes each block out,
-        peak memory is O(block size)). With jobs > 1, up to `jobs` block
-        decodes are kept in flight as futures (the DecodingTask prefetch,
-        CompressedInputStream.cpp:336-344): the shared bitstream is read
-        sequentially here and the entropy+inverse work fans out."""
+        """Yield decoded blocks in order as bytes."""
+        for data in self.read_blocks_np(from_block, to_block):
+            yield data.tobytes()
+
+    def read_blocks_np(self, from_block: int = 1,
+                       to_block: int = MAX_BLOCK_ID):
+        """Yield decoded blocks in order as uint8 arrays (streaming
+        decode: with a file-object source and a consumer that writes
+        each block out, peak memory is O(block size)). With jobs > 1, up
+        to `jobs` block decodes are kept in flight as futures (the
+        DecodingTask prefetch, CompressedInputStream.cpp:336-344): the
+        shared bitstream is read sequentially here and the
+        entropy+inverse work fans out."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -738,12 +784,7 @@ class CompressedReader:
                 if bits > (1 << 34):
                     raise KanziError("Invalid block size",
                                      Error.ERR_BLOCK_SIZE)
-                nbytes = (bits + 7) >> 3
-                payload = self.ibs.read_bytes(nbytes - 1) if bits & 7 \
-                    else self.ibs.read_bytes(nbytes)
-                if bits & 7:
-                    tail = self.ibs.read_bits(bits & 7)
-                    payload += bytes([(tail << (8 - (bits & 7))) & 0xFF])
+                payload = self.ibs.read_payload(bits)
                 if block_id < from_block:
                     continue
                 if block_id >= to_block:
@@ -760,7 +801,7 @@ class CompressedReader:
                                         self.checksum_bits,
                                         self.listeners)
                     self._blocks_decoded += 1
-                    yield data.tobytes()
+                    yield data
                     continue
                 inflight.append(ex.submit(
                     decode_block, payload, bits, block_id, self.ctx,
@@ -769,11 +810,11 @@ class CompressedReader:
                 while len(inflight) >= self.jobs:
                     data = inflight.popleft().result()
                     self._blocks_decoded += 1
-                    yield data.tobytes()
+                    yield data
             while inflight:
                 data = inflight.popleft().result()
                 self._blocks_decoded += 1
-                yield data.tobytes()
+                yield data
         finally:
             if ex is not None:
                 ex.shutdown(wait=False, cancel_futures=True)

@@ -514,13 +514,7 @@ def decompress_l5_mesh(blob: bytes, mesh=None) -> bytes:
         bits = r.ibs.read_bits(lr_)
         if bits == 0:
             break
-        nbytes = (bits + 7) >> 3
-        payload = (r.ibs.read_bytes(nbytes - 1) if bits & 7
-                   else r.ibs.read_bytes(nbytes))
-        if bits & 7:
-            tail = r.ibs.read_bits(bits & 7)
-            payload += bytes([(tail << (8 - (bits & 7))) & 0xFF])
-        frames.append((payload, bits))
+        frames.append((r.ibs.read_payload(bits), bits))
 
     # phase 1: host parse; gather all full chunks for one sharded decode
     parsed = []
@@ -756,13 +750,7 @@ def decompress_l2_mesh(blob: bytes, mesh=None) -> bytes:
         bits = r.ibs.read_bits(lr_)
         if bits == 0:
             break
-        nbytes = (bits + 7) >> 3
-        payload = (r.ibs.read_bytes(nbytes - 1) if bits & 7
-                   else r.ibs.read_bytes(nbytes))
-        if bits & 7:
-            tail = r.ibs.read_bits(bits & 7)
-            payload += bytes([(tail << (8 - (bits & 7))) & 0xFF])
-        frames.append((payload, bits))
+        frames.append((r.ibs.read_payload(bits), bits))
 
     parsed = []
     all_recs = []

@@ -126,6 +126,9 @@ def _load(name: str):
                 lib.kz_zrlt_inverse.argtypes = [u8p, i64, u8p, i64]
                 lib.kz_hist_o01.restype = None
                 lib.kz_hist_o01.argtypes = [u8p, i64, i64p, i64p]
+                lib.kz_shift_bytes.restype = None
+                lib.kz_shift_bytes.argtypes = [u8p, i64, ctypes.c_int,
+                                               u8p]
                 lib.kz_hist_o0.restype = None
                 lib.kz_hist_o0.argtypes = [u8p, i64, i64p]
                 lib.kz_ans0_enc_block.restype = i64
@@ -344,6 +347,19 @@ def _u8ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _bufp(buf):
+    """uint8* into bytes / uint8 ndarray / any buffer, without copying.
+    numpy's data_as keeps a reference to the array on the returned
+    pointer object, so temporaries stay alive for the call."""
+    if isinstance(buf, np.ndarray):
+        return buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if isinstance(buf, bytes):
+        return ctypes.cast(ctypes.c_char_p(buf),
+                           ctypes.POINTER(ctypes.c_uint8))
+    return np.frombuffer(buf, np.uint8).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8))
+
+
 def sbrt(src: np.ndarray, mode: int, inverse: bool) -> np.ndarray:
     lib = _load("transforms")
     src = np.ascontiguousarray(src, np.uint8)
@@ -423,7 +439,7 @@ def huff_dec_chunk(buf: bytes, nbits: int, bitpos: int, sz_chunk: int,
     lib = _load("transforms")
     dst = out[start:start + sz_chunk]
     rc = lib.kz_huff_dec_chunk(
-        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        _bufp(buf),
         nbits, bitpos, sz_chunk, _u8ptr(dst))
     if rc == -5:
         return -5
@@ -464,7 +480,7 @@ def ans_dec_header(buf: bytes, nbits: int, bitpos: int, order: int):
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     rc = lib.kz_ans_dec_header(
-        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        _bufp(buf),
         nbits, bitpos, order, freqs.ctypes.data_as(i64p),
         counts.ctypes.data_as(i32p), ctypes.byref(lr))
     if rc == -2:
@@ -498,7 +514,7 @@ def ans0_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
     out = np.empty(count, np.uint8)
     decoded = ctypes.c_int64(0)
     rc = lib.kz_ans0_dec_block(
-        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        _bufp(buf),
         nbits, bitpos, count, chunk_size, _u8ptr(out),
         ctypes.byref(decoded))
     if rc == -2:
@@ -530,7 +546,7 @@ def huff_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
     out = np.empty(count, np.uint8)
     decoded = ctypes.c_int64(0)
     rc = lib.kz_huff_dec_block(
-        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        _bufp(buf),
         nbits, bitpos, count, chunk_size, _u8ptr(out),
         ctypes.byref(decoded))
     if rc == -2:
@@ -564,7 +580,7 @@ def ans1_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
     out = np.empty(count, np.uint8)
     decoded = ctypes.c_int64(0)
     rc = lib.kz_ans1_dec_block(
-        ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8)),
+        _bufp(buf),
         nbits, bitpos, count, chunk_size, _u8ptr(out),
         ctypes.byref(decoded))
     if rc == -2:
@@ -677,6 +693,17 @@ def hist_o01(src: np.ndarray):
     lib.kz_hist_o01(_u8ptr(src), len(src),
                     h0.ctypes.data_as(i64p), h1.ctypes.data_as(i64p))
     return h0, h1.reshape(256, 256)
+
+
+def shift_bytes(buf, offset_bytes: int, n: int, r: int) -> np.ndarray:
+    """dst[i] = buf[off+i]<<r | buf[off+i+1]>>(8-r) for i in [0,n) --
+    the misaligned payload extraction, one C pass. buf needs n+1
+    readable bytes at offset."""
+    lib = _load("transforms")
+    out = np.empty(n, np.uint8)
+    src = np.frombuffer(buf, np.uint8, n + 1, offset_bytes)
+    lib.kz_shift_bytes(_bufp(src), n, r, _u8ptr(out))
+    return out
 
 
 def hist_o0(src: np.ndarray):

@@ -600,7 +600,18 @@ int64_t kz_lzx_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
             }
             if (lit_len > lit_end - src_idx) return -2;
             if (o + lit_len > dst_cap) return -3;
-            std::memcpy(dst + o, src + src_idx, lit_len);
+            // wild copy: one 16/32-byte vector move covers the common
+            // short literal run; exact memcpy only without slack
+            if (lit_len <= 16 && o + 16 <= dst_cap
+                && src_idx + 16 <= count) {
+                std::memcpy(dst + o, src + src_idx, 16);
+            } else if (o + lit_len + 32 <= dst_cap
+                       && src_idx + lit_len + 32 <= count) {
+                for (int64_t i = 0; i < lit_len; i += 32)
+                    std::memcpy(dst + o + i, src + src_idx + i, 32);
+            } else {
+                std::memcpy(dst + o, src + src_idx, lit_len);
+            }
             o += lit_len;
             src_idx += lit_len;
             if (src_idx >= src_end) break;
@@ -612,7 +623,18 @@ int64_t kz_lzx_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
         if (ref < 0 || dist > max_dist) return -2;
         if (o + mlen > dst_cap) return -3;
         if (dist >= mlen) {
-            std::memcpy(dst + o, dst + ref, mlen);
+            if (mlen <= 16 && dist >= 16 && o + 16 <= dst_cap) {
+                std::memcpy(dst + o, dst + ref, 16);
+            } else if (dist >= 32 && o + mlen + 32 <= dst_cap) {
+                for (int64_t i = 0; i < mlen; i += 32)
+                    std::memcpy(dst + o + i, dst + ref + i, 32);
+            } else {
+                std::memcpy(dst + o, dst + ref, mlen);
+            }
+            o += mlen;
+        } else if (dist >= 8 && o + mlen + 8 <= dst_cap) {
+            for (int64_t i = 0; i < mlen; i += 8)
+                std::memcpy(dst + o + i, dst + ref + i, 8);
             o += mlen;
         } else {
             for (int64_t i = 0; i < mlen; i++, o++) dst[o] = dst[ref + i];
@@ -1610,6 +1632,15 @@ void kz_hist_o01(const uint8_t* src, int64_t n, int64_t* h0, int64_t* h1) {
         h1[(prev << 8) | c]++;
         prev = c;
     }
+}
+
+// Misaligned payload extraction: dst[i] = src[i]<<r | src[i+1]>>(8-r),
+// one pass (the BitReader's block-payload read; numpy needed 3 passes
+// + a temp). src must have n+1 readable bytes; 1 <= r <= 7.
+void kz_shift_bytes(const uint8_t* src, int64_t n, int r, uint8_t* dst) {
+    const int l = 8 - r;
+    for (int64_t i = 0; i < n; i++)
+        dst[i] = (uint8_t)((src[i] << r) | (src[i + 1] >> l));
 }
 
 // Order-0 only (AliasCodec's early exit and detectSimpleType need just
