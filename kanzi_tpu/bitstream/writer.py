@@ -17,19 +17,55 @@ import numpy as np
 
 
 class BitWriter:
-    __slots__ = ("_buf", "_acc", "_nbits", "_pos")
+    __slots__ = ("_buf", "_acc", "_nbits", "_pos", "_sink", "_drained")
 
-    def __init__(self) -> None:
+    def __init__(self, sink=None) -> None:
+        """sink: optional binary file object. When set, accumulated
+        whole bytes are streamed to it once the internal buffer exceeds
+        ~1 MiB (the reference's DefaultOutputBitStream flushes to its
+        OutputStream the same way) — O(1) memory and no final full-size
+        copy. Seeking backwards past drained bytes is then impossible."""
         self._buf = bytearray()
         self._acc = 0       # pending bits, MSB side = oldest
         self._nbits = 0     # number of pending bits in _acc (< 8 after flush)
         self._pos = 0       # byte write cursor (== len(_buf) unless seek'd)
+        self._sink = sink
+        self._drained = 0   # bytes already written to sink
+
+    def _maybe_drain(self) -> None:
+        if (self._sink is not None and len(self._buf) >= (1 << 20)
+                and self._pos == len(self._buf)):
+            self._sink.write(self._buf)
+            self._drained += len(self._buf)
+            self._buf = bytearray()
+            self._pos = 0
+
+    def close_to_sink(self) -> int:
+        """Zero-pad the final partial byte and flush everything to the
+        sink. Returns total bytes written to the sink."""
+        if self._nbits:
+            pad = 8 - self._nbits
+            self._acc <<= pad
+            self._nbits = 8
+            self._flush_bytes()
+        if self._buf:
+            self._sink.write(self._buf)
+            self._drained += len(self._buf)
+            self._buf = bytearray()
+            self._pos = 0
+        return self._drained
 
     def _emit(self, data) -> None:
-        """Write bytes at the cursor, overwriting then extending."""
+        """Write bytes at the cursor, overwriting then extending.
+        Accepts bytes or uint8 ndarrays (appended via the buffer
+        protocol, no intermediate bytes object)."""
+        if isinstance(data, np.ndarray):
+            data = memoryview(data)   # bytearray += ndarray would
+        #                               broadcast instead of append
         if self._pos == len(self._buf):
             self._buf += data
             self._pos = len(self._buf)
+            self._maybe_drain()
             return
         data = bytes(data)
         end = self._pos + len(data)
@@ -65,24 +101,43 @@ class BitWriter:
         self._nbits = rem
 
     def write_bytes(self, data) -> None:
-        """Bulk write of whole bytes (bit count = 8*len), any alignment."""
-        data = bytes(data)
-        if not data:
+        """Bulk write of whole bytes (bit count = 8*len), any alignment.
+        Accepts bytes or uint8 ndarrays (zero-copy)."""
+        if isinstance(data, np.ndarray):
+            if data.dtype != np.uint8 or not data.flags.c_contiguous:
+                data = np.ascontiguousarray(data, np.uint8)
+        else:
+            data = bytes(data)
+        if len(data) == 0:
             return
         if self._nbits == 0:
             self._emit(data)
             return
         r = self._nbits
         arr = np.frombuffer(data, dtype=np.uint8)
-        # carry chain: out[i] = acc_bits | arr[i] >> r ; next acc = arr[i] low r bits
-        hi = (arr >> np.uint8(r)).astype(np.uint8)
-        lo = (arr << np.uint8(8 - r)).astype(np.uint8)
+        # carry chain: out[i] = pending-bits | arr[i] >> r; equivalently
+        # out[i] = v[i] << (8-r) | v[i+1] >> r with v = [acc] + arr --
+        # i.e. one kz_shift_bytes pass at shift 8-r
         out = np.empty(len(arr), dtype=np.uint8)
         first = np.uint8((self._acc << (8 - r)) & 0xFF)
-        out[0] = first | hi[0]
+        out[0] = first | (arr[0] >> np.uint8(r))
         if len(arr) > 1:
-            out[1:] = lo[:-1] | hi[1:]
-        self._emit(out.tobytes())
+            n1 = len(arr) - 1
+            done = False
+            if n1 >= 4096:
+                try:
+                    from kanzi_tpu.utils import native
+                    if native.transforms_available():
+                        native.shift_bytes(data, 0, n1, 8 - r,
+                                           out=out[1:])
+                        done = True
+                except Exception:
+                    pass
+            if not done:
+                hi = (arr >> np.uint8(r)).astype(np.uint8)
+                lo = (arr << np.uint8(8 - r)).astype(np.uint8)
+                out[1:] = lo[:-1] | hi[1:]
+        self._emit(out)
         self._acc = int(arr[-1]) & ((1 << r) - 1)
         # _nbits unchanged (still r pending bits)
 
@@ -119,23 +174,26 @@ class BitWriter:
                 bitbuf[byte0 + i] |= b[i]
         self._append_bit_run(bitbuf[:nbytes].tobytes(), total)
 
-    def _append_bit_run(self, data: bytes, nbits_total: int) -> None:
-        """Append the first nbits_total bits of data (MSB-first)."""
+    def _append_bit_run(self, data, nbits_total: int) -> None:
+        """Append the first nbits_total bits of data (MSB-first).
+        data: bytes or uint8 ndarray."""
         full = nbits_total >> 3
         rem = nbits_total & 7
         if full:
-            self.write_bytes(data[:full])
+            arr = (data[:full] if isinstance(data, np.ndarray)
+                   else np.frombuffer(data, np.uint8, full))
+            self.write_bytes(arr)
         if rem:
-            self.write_bits(data[full] >> (8 - rem), rem)
+            self.write_bits(int(data[full]) >> (8 - rem), rem)
 
     def written(self) -> int:
         """Bits written so far (including pending)."""
-        return 8 * len(self._buf) + self._nbits
+        return 8 * (self._drained + len(self._buf)) + self._nbits
 
     def tell(self) -> int:
         """Current bit position incl. pending bits (Seekable, reference
         DefaultOutputBitStream::tell :134-142)."""
-        return 8 * self._pos + self._nbits
+        return 8 * (self._drained + self._pos) + self._nbits
 
     def seek(self, bitpos: int) -> bool:
         """Byte-aligned reposition; subsequent writes overwrite in place
@@ -143,6 +201,9 @@ class BitWriter:
         bytes are flushed, sub-byte remainder bits are discarded)."""
         if bitpos < 0 or (bitpos & 7) != 0:
             return False
+        bitpos -= 8 * self._drained
+        if bitpos < 0:
+            return False            # already streamed to the sink
         nbytes = self._nbits >> 3
         if nbytes:
             self._emit((self._acc >> (self._nbits & 7))
@@ -163,3 +224,14 @@ class BitWriter:
             self._nbits = 8
             self._flush_bytes()
         return bytes(self._buf)
+
+    def getarray(self) -> np.ndarray:
+        """getvalue without the copy: a uint8 view of the stream
+        buffer. Only for writers that receive no further writes (the
+        view pins the buffer against resize)."""
+        if self._nbits:
+            pad = 8 - self._nbits
+            self._acc <<= pad
+            self._nbits = 8
+            self._flush_bytes()
+        return np.frombuffer(self._buf, np.uint8)

@@ -138,7 +138,7 @@ class ANSRangeEncoder(EntropyEncoder):
         block = np.asarray(block, dtype=np.uint8)
         count = len(block)
         if count <= 32:
-            self.obs.write_bytes(block.tobytes())
+            self.obs.write_bytes(block)
             return count
         lr = self.log_range
         start = 0

@@ -357,7 +357,7 @@ class HuffmanEncoder(EntropyEncoder):
             size_chunk = min(self.chunk_size, count - start)
             chunk = block[start:start + size_chunk]
             if size_chunk < 32:
-                self.obs.write_bytes(chunk.tobytes())
+                self.obs.write_bytes(chunk)
             else:
                 res = native.huff_enc_chunk(chunk) if use_native else None
                 if res is not None:

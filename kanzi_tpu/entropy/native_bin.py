@@ -70,7 +70,7 @@ class NativeBinEncoder(EntropyEncoder):
             if n_out < 0:
                 raise ValueError("binary coder chunk overflow")
             eu.write_varint(self.obs, n_out)
-            self.obs.write_bytes(buf[:n_out].tobytes())
+            self.obs.write_bytes(buf[:n_out])
             start += chunk_size
             if start < count:
                 self.obs.write_bits(

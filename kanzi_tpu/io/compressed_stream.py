@@ -236,7 +236,7 @@ def _encode_block_phase2(st: dict,
     ee.dispose()
 
     written = obs.written()
-    payload = obs.getvalue()
+    payload = obs.getarray()
 
     if listeners:
         listeners.notify(Event(EventType.AFTER_ENTROPY, block_id,
@@ -453,7 +453,7 @@ class CompressedWriter:
         self.listeners = ListenerBus()
         self._pending = bytearray()
         self._block_id = 0
-        self._obs = BitWriter()
+        self._obs = BitWriter(sink=out)
         self._header_written = False
         self._closed = False
         # per task-slot persistent buffer capacities [input, work]
@@ -595,8 +595,8 @@ class CompressedWriter:
         # end of stream marker (:415-417)
         self._obs.write_bits(0, 5)
         self._obs.write_bits(0, 3)
-        self.out.write(self._obs.getvalue())
-        self._obs = BitWriter()
+        self._obs.close_to_sink()
+        self._obs = BitWriter(sink=self.out)
         self._closed = True
 
     def __enter__(self):

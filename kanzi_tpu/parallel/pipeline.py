@@ -313,7 +313,7 @@ def compress_l5_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
         w._commit(payload, bits)
     w._obs.write_bits(0, 5)
     w._obs.write_bits(0, 3)
-    w.out.write(w._obs.getvalue())
+    w._obs.close_to_sink()
     w._closed = True
     return sink.getvalue()
 
@@ -675,7 +675,7 @@ def compress_l2_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
         w._commit(payload, bits)
     w._obs.write_bits(0, 5)
     w._obs.write_bits(0, 3)
-    w.out.write(w._obs.getvalue())
+    w._obs.close_to_sink()
     w._closed = True
     return sink.getvalue()
 

@@ -42,7 +42,8 @@ def _load(name: str):
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                    ["g++", "-O3", "-fomit-frame-pointer", "-DNDEBUG",
+                     "-fno-rtti", "-shared", "-fPIC", "-pthread",
                      src, "-o", so],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(so)
@@ -695,12 +696,15 @@ def hist_o01(src: np.ndarray):
     return h0, h1.reshape(256, 256)
 
 
-def shift_bytes(buf, offset_bytes: int, n: int, r: int) -> np.ndarray:
+def shift_bytes(buf, offset_bytes: int, n: int, r: int,
+                out: np.ndarray | None = None) -> np.ndarray:
     """dst[i] = buf[off+i]<<r | buf[off+i+1]>>(8-r) for i in [0,n) --
     the misaligned payload extraction, one C pass. buf needs n+1
-    readable bytes at offset."""
+    readable bytes at offset. `out` (uint8, contiguous, >= n) is
+    written in place when given."""
     lib = _load("transforms")
-    out = np.empty(n, np.uint8)
+    if out is None:
+        out = np.empty(n, np.uint8)
     src = np.frombuffer(buf, np.uint8, n + 1, offset_bytes)
     lib.kz_shift_bytes(_bufp(src), n, r, _u8ptr(out))
     return out

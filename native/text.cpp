@@ -56,9 +56,30 @@ uint8_t g_static_blob[1 << 16];
 Entry g_static[1100];
 int g_static_n = 0;
 
+struct EpochMap {
+    uint32_t* m = nullptr;
+    int cap_log = 0;
+    uint32_t ctr = 0;
+
+    uint32_t next() {
+        ctr++;
+        if (ctr >= (1u << 13)) {  // 13-bit epoch field wrapped: real clear
+            memset(m, 0, sizeof(uint32_t) << cap_log);
+            ctr = 1;
+        }
+        return ctr;
+    }
+};
+
 struct Dict {
     Entry* entries;      // MAX_DICT_SIZE
-    int32_t* dmap;       // 1 << log_hash, -1 = empty
+    // dmap entry = (epoch << 19) | idx. A slot is live only when its
+    // epoch matches the dict's current epoch -- starting a new block
+    // bumps the epoch instead of clearing the multi-MB table (the
+    // per-call memset of 4 << log_hash bytes dominated short inputs).
+    uint32_t* dmap;      // 1 << log_hash
+    EpochMap* em;        // owner of dmap + the shared epoch counter
+    uint32_t epoch;
     uint32_t hash_mask;
     int dict_size;
     int static_size;
@@ -81,20 +102,24 @@ struct Dict {
         static_size = n;
         for (int i = n; i < dict_size; i++)
             entries[i] = {nullptr, 0, (uint32_t)i};
-        memset(dmap, 0xFF, sizeof(int32_t) * (size_t)(hash_mask + 1));
         for (int i = 0; i < static_size; i++)
-            dmap[entries[i].hash & hash_mask] = i;
+            dmap[entries[i].hash & hash_mask] = (epoch << 19) | (uint32_t)i;
     }
 
-    int32_t lookup(uint32_t h) const { return dmap[h & hash_mask]; }
+    int32_t lookup(uint32_t h) const {
+        const uint32_t v = dmap[h & hash_mask];
+        return (v >> 19) == epoch ? (int32_t)(v & (MAX_DICT_SIZE - 1))
+                                  : -1;
+    }
 
     bool expand() {
         if (dict_size >= MAX_DICT_SIZE) return false;
         for (int i = dict_size; i < dict_size * 2; i++)
             entries[i] = {nullptr, 0, (uint32_t)i};
-        memset(dmap, 0xFF, sizeof(int32_t) * (size_t)(hash_mask + 1));
+        // new epoch, reinsert the live entries (cheap vs full clear)
+        epoch = em->next();
         for (int i = 0; i < dict_size; i++)
-            dmap[entries[i].hash & hash_mask] = i;
+            dmap[entries[i].hash & hash_mask] = (epoch << 19) | (uint32_t)i;
         dict_size <<= 1;
         return true;
     }
@@ -103,12 +128,12 @@ struct Dict {
                    int64_t start, int length) {
         Entry& e = entries[words];
         if ((int)e.index() >= static_size) {
-            dmap[e.hash & hash_mask] = -1;  // clear old slot
+            dmap[e.hash & hash_mask] = 0;   // epoch 0 is never current
             e.ptr = buf + start;
             e.hash = h1;
             e.data = ((uint32_t)length << 24) | (uint32_t)words;
         }
-        dmap[h1 & hash_mask] = words;
+        dmap[h1 & hash_mask] = (epoch << 19) | (uint32_t)words;
         words++;
         if (words >= dict_size) {
             if (!expand()) words = static_size;
@@ -206,15 +231,16 @@ Entry* alloc_entries() {
     return e;
 }
 
-int32_t* alloc_dmap(int log_hash) {
-    static thread_local int32_t* m = nullptr;
-    static thread_local int cap_log = 0;
-    if (cap_log < log_hash) {
-        delete[] m;
-        m = new int32_t[(size_t)1 << log_hash];
-        cap_log = log_hash;
+EpochMap* alloc_dmap(int log_hash) {
+    static thread_local EpochMap em;
+    if (em.cap_log < log_hash) {
+        delete[] em.m;
+        em.m = new uint32_t[(size_t)1 << log_hash];
+        memset(em.m, 0, sizeof(uint32_t) << log_hash);
+        em.cap_log = log_hash;
+        em.ctr = 0;
     }
-    return m;
+    return &em;
 }
 
 const uint8_t ESC_STORAGE[2] = {ESCAPE_TOKEN2, ESCAPE_TOKEN1};
@@ -243,7 +269,9 @@ int64_t kz_text_forward(const uint8_t* src, int64_t count, int variant,
                         uint8_t* dst) {
     Dict d;
     d.entries = alloc_entries();
-    d.dmap = alloc_dmap(log_hash);
+    d.em = alloc_dmap(log_hash);
+    d.dmap = d.em->m;
+    d.epoch = d.em->next();
     d.init(log_hash, dict_size0, variant == 1, ESC_STORAGE);
 
     const int64_t dst_end = count;  // maxEncodedLength
@@ -352,7 +380,9 @@ int64_t kz_text_inverse(const uint8_t* src, int64_t count, int variant,
                         int64_t dst_cap) {
     Dict d;
     d.entries = alloc_entries();
-    d.dmap = alloc_dmap(log_hash);
+    d.em = alloc_dmap(log_hash);
+    d.dmap = d.em->m;
+    d.epoch = d.em->next();
     d.init(log_hash, dict_size0, variant == 1, ESC_STORAGE);
 
     bool is_crlf = (src[0] & MASK_CRLF) != 0;

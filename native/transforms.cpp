@@ -1623,15 +1623,29 @@ extern "C" {
 // Order-0 + order-1 histograms in one pass (TextCodec::computeStats
 // uses freqs0[256] and freqs1[256][256] with prev=0 seeded at start).
 void kz_hist_o01(const uint8_t* src, int64_t n, int64_t* h0, int64_t* h1) {
-    memset(h0, 0, 256 * sizeof(int64_t));
-    memset(h1, 0, 65536 * sizeof(int64_t));
+    // u32 accumulation: the 64K-entry table is 256 KiB instead of
+    // 512 KiB (fits L2), and blocks are <= 1 GiB so u32 cannot wrap.
+    // h0 derives from h1 row sums + the first-byte seed, saving the
+    // second increment chain in the loop.
+    static thread_local uint32_t* t1 = new uint32_t[65536];
+    memset(t1, 0, 65536 * sizeof(uint32_t));
     int prev = 0;
     for (int64_t i = 0; i < n; i++) {
         const int c = src[i];
-        h0[c]++;
-        h1[(prev << 8) | c]++;
+        t1[(prev << 8) | c]++;
         prev = c;
     }
+    uint32_t col[256] = {0};
+    for (int p = 0; p < 256; p++) {
+        const uint32_t* row = t1 + (p << 8);
+        int64_t* out = h1 + (p << 8);
+        for (int c = 0; c < 256; c++) {
+            out[c] = row[c];
+            col[c] += row[c];
+        }
+    }
+    // h0[c] = number of occurrences of c = column sums of h1
+    for (int c = 0; c < 256; c++) h0[c] = col[c];
 }
 
 // Misaligned payload extraction: dst[i] = src[i]<<r | src[i+1]>>(8-r),
