@@ -16,6 +16,8 @@
 // Build: g++ -O3 -shared -fPIC -pthread sais.cpp -o libkanzisais.so
 
 #include <cstdint>
+#include <memory>
+#include <type_traits>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -30,187 +32,214 @@ namespace {
 #define KZ_PREFETCHW(p)
 #endif
 
-inline bool is_lms(const uint8_t* t, int64_t i) {
-    return i > 0 && t[i] && !t[i - 1];
-}
+// Type-free, sentinel-free SA-IS (the "fast SA-IS" formulation used by
+// sais-lite/libsais, re-derived here; still a different algorithm from
+// the reference's DivSufSort):
+// - No type array and no in-band type bits: during induction the type
+//   of a popped entry is implied by the scan, and the type of its left
+//   neighbour falls out of comparing two ADJACENT text bytes (same
+//   cache line), so each induce step costs ONE random line, on the
+//   plain uint8 text.
+//   * L-scan pops only L entries and LMS seeds; place j-1 iff
+//     s[j-1] >= s[j] (for seeds s[j-1] > s[j] strictly, so the rule is
+//     universal).
+//   * S-scan pops both kinds; s[j-1] < s[j] places, s[j-1] > s[j]
+//     doesn't, and ties inherit type(j), which is L iff index i sits in
+//     the L sub-bucket -- tracked for free since i crosses the bucket
+//     boundaries monotonically (start[] + numL[] arrays).
+// - No sentinel: suffix n is virtual. type(n-1) := L and the L-scan is
+//   seeded with position n-1 at its bucket start before the main loop.
+// - ONE serial typed pass: the LMS list collected during classify
+//   drives stage-1 seeding, naming lengths, and the p1 rebuild.
 
-// SA-IS over s[0..n-1], alphabet [0..K), s[n-1] must be the unique
-// smallest character (sentinel). s is MUTATED: the S/L type bit is
-// packed into the second-highest bit of each element so the induce
-// scans touch one random cache line per step instead of two (s[j] and
-// t[j] live in different lines; the chase is miss-bound on this host).
 template <typename T>
-void sais(T* s, int32_t* sa, int64_t n, int64_t K,
-          uint8_t* t /* scratch n bytes */) {
+void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
+    if (n <= 0) return;
     if (n == 1) { sa[0] = 0; return; }
-    constexpr T TBIT = T(1) << (8 * sizeof(T) - 2);
-    constexpr T TMASK = TBIT - 1;
-    // classify S(1)/L(0), histogram, and pack the type bit - one
-    // backward pass instead of three
-    std::vector<int32_t> counts(K, 0), bkt(K);
-    t[n - 1] = 1;
-    counts[s[n - 1]]++;
-    s[n - 1] |= TBIT;
-    for (int64_t i = n - 2; i >= 0; i--) {
-        const T c = s[i];
-        counts[c]++;
-        const T next = s[i + 1] & TMASK;
-        const uint8_t ty = (c < next || (c == next && t[i + 1])) ? 1 : 0;
-        t[i] = ty;
-        if (ty) s[i] = c | TBIT;
-    }
 
-    auto bucket_ends = [&] {
+    std::vector<int32_t> counts(K, 0), numL(K, 0), start(K + 1), bkt(K);
+
+    // ONE backward typed pass: histogram, per-char L counts, and the
+    // LMS position list (descending). Every later consumer (stage-1
+    // seeds, naming lengths, p1 rebuild) walks the list instead of
+    // re-deriving types -- three serial typed passes saved.
+    std::unique_ptr<int32_t[]> lms_buf(new int32_t[n / 2 + 2]);
+    int32_t* const lms = lms_buf.get();
+    int64_t n1_total = 0;
+    {
+        bool ty = false;             // type(n-1) = L (false)
+        counts[s[n - 1]]++;
+        numL[s[n - 1]]++;
+        int64_t k = 0;
+        for (int64_t i = n - 2; i >= 0; i--) {
+            const T c = s[i];
+            const T d = s[i + 1];
+            counts[c]++;
+            const bool ty_i = (c < d) | ((c == d) & ty);
+            numL[c] += !ty_i;
+            lms[k] = int32_t(i + 1);     // unconditional store, k moves
+            k += int64_t((!ty_i) & ty);  // only on a real L->S edge
+            ty = ty_i;
+        }
+        n1_total = k;
+    }
+    {
         int32_t sum = 0;
-        for (int64_t c = 0; c < K; c++) { sum += counts[c]; bkt[c] = sum; }
+        for (int64_t c = 0; c < K; c++) { start[c] = sum; sum += counts[c]; }
+        start[K] = int32_t(n);
+    }
+    auto bucket_ends = [&] {
+        for (int64_t c = 0; c < K; c++) bkt[c] = start[c + 1];
     };
     auto bucket_starts = [&] {
-        int32_t sum = 0;
-        for (int64_t c = 0; c < K; c++) { bkt[c] = sum; sum += counts[c]; }
+        for (int64_t c = 0; c < K; c++) bkt[c] = start[c];
     };
-    // The induce scans are miss-bound: each step loads s[sa[i]-1] at a
-    // random address. Prefetching that load PD iterations ahead keeps
-    // more misses in flight. A stale/negative slot issues a harmless
-    // hint.
+
     constexpr int64_t PD = 24;
-    // mark=true (stage-1 only): the S-scan stores ~j instead of j when j
-    // is LMS, so the LMS compaction after induce() is a sequential sign
-    // test instead of n random t[] probes. Flagged entries read back
-    // inside the same scan are decoded with ~ (note ~(-1) == 0, so empty
-    // slots fall into the pos==0 skip naturally).
-    auto induce = [&](bool mark) {
-        // L-type left-to-right from bucket starts
+
+    // ---- L-scan: left to right from bucket starts. mark = stage-1.
+    auto induce_L = [&] {
         bucket_starts();
+        sa[bkt[s[n - 1]]++] = int32_t(n - 1);   // virtual-sentinel seed
         for (int64_t i = 0; i < n; i++) {
             if (i + PD < n) {
-                const int32_t jp = sa[i + PD];
-                if (jp > 0) KZ_PREFETCH(s + (jp - 1));
+                const int32_t vp = sa[i + PD];
+                const int32_t pp = vp < 0 ? ~vp : vp;
+                if (pp > 0) KZ_PREFETCH(s + (pp - 1));
             }
-            const int32_t j = sa[i] - 1;
-            if (sa[i] > 0) {
-                const T v = s[j];
-                if (!(v & TBIT)) sa[bkt[v]++] = j;
+            const int32_t vraw = sa[i];
+            const int32_t j = (vraw < 0 ? ~vraw : vraw);
+            if (j > 0) {
+                const T a = s[j - 1];
+                if (a >= s[j]) sa[bkt[a]++] = j - 1;
             }
         }
-        // S-type right-to-left from bucket ends
+    };
+
+    // ---- S-scan: right to left from bucket ends. When mark is set,
+    // placed LMS positions are stored as ~p (stage-1); popped values are
+    // decoded the same way (~(-1) == 0 skips empties naturally).
+    auto induce_S = [&](auto mark_c) {
+        constexpr bool mark = decltype(mark_c)::value;
         bucket_ends();
-        if (mark) {
-            for (int64_t i = n - 1; i >= 0; i--) {
-                if (i - PD >= 0) {
-                    const int32_t vp = sa[i - PD];
-                    const int32_t pp = vp < 0 ? ~vp : vp;
-                    if (pp > 0) KZ_PREFETCH(s + (pp - 1));
-                }
-                const int32_t vraw = sa[i];
-                const int32_t pos = vraw < 0 ? ~vraw : vraw;
-                if (pos > 0) {
-                    const int32_t j = pos - 1;
-                    const T v = s[j];
-                    if (v & TBIT) {
-                        const bool lms = j > 0 && !(s[j - 1] & TBIT);
-                        sa[--bkt[v & TMASK]] = lms ? ~j : j;
-                    }
-                }
+        int64_t c_cur = K - 1;
+        int64_t lo = start[c_cur], thr = start[c_cur] + numL[c_cur];
+        for (int64_t i = n - 1; i >= 0; i--) {
+            if (i - PD >= 0) {
+                const int32_t vp = sa[i - PD];
+                const int32_t pp = vp < 0 ? ~vp : vp;
+                if (pp > 0) KZ_PREFETCH(s + (pp - 1));
             }
-        } else {
-            for (int64_t i = n - 1; i >= 0; i--) {
-                if (i - PD >= 0) {
-                    const int32_t jp = sa[i - PD];
-                    if (jp > 0) KZ_PREFETCH(s + (jp - 1));
-                }
-                const int32_t j = sa[i] - 1;
-                if (sa[i] > 0) {
-                    const T v = s[j];
-                    if (v & TBIT) sa[--bkt[v & TMASK]] = j;
+            while (i < lo) {
+                c_cur--;
+                lo = start[c_cur];
+                thr = lo + numL[c_cur];
+            }
+            const int32_t vraw = sa[i];
+            const int32_t j = (vraw < 0 ? ~vraw : vraw);
+            if (j > 0) {
+                const T a = s[j - 1];
+                const T b = s[j];
+                // place iff type(j-1) == S
+                const bool place =
+                    (a < b) || (a == b && i >= thr /* j is S-typed */);
+                if (place) {
+                    const int32_t p = j - 1;
+                    int32_t v = p;
+                    if constexpr (mark) {
+                        if (p > 0 && s[p - 1] > a) v = ~p;      // LMS
+                    }
+                    sa[--bkt[a]] = v;
                 }
             }
         }
     };
 
-    // stage 1: sort LMS substrings
+    // ---- stage 1: sort LMS substrings
     std::memset(sa, -1, n * sizeof(int32_t));
-    bucket_ends();
-    for (int64_t i = 1; i < n; i++)
-        if (t[i] && !t[i - 1]) sa[--bkt[s[i] & TMASK]] = int32_t(i);
-    induce(true);
+    {
+        bucket_ends();
+        for (int64_t k = 0; k < n1_total; k++) {
+            const int32_t p = lms[k];            // descending positions
+            sa[--bkt[s[p]]] = p;
+        }
+    }
+    induce_L();
+    induce_S(std::true_type{});
 
-    // compact flagged (LMS) positions into sa[0..n1). The sentinel
-    // (pos n-1, the unique smallest suffix) sits unflagged at sa[0]:
-    // nothing re-places it during the S-scan since it has no successor.
+    // compact flagged (LMS) positions into sa[0..n1)
     int64_t n1 = 0;
-    sa[n1++] = sa[0];
-    for (int64_t i = 1; i < n; i++) {
+    for (int64_t i = 0; i < n; i++) {
         const int32_t v = sa[i];
-        if (v < 0) sa[n1++] = ~v;
+        if (v < -1) sa[n1++] = ~v;
     }
 
-    // name LMS substrings; names stored at sa[n1 + pos/2].
-    // First store each LMS substring LENGTH in its name slot (one
-    // sequential backward pass over t), so naming is a length check +
-    // memcmp of packed symbol|type words - no random t[] probes at all.
-    // (Equal symbols + equal length forces equal interior types: the
-    // rightmost element of an LMS substring is S by definition and ties
-    // propagate right-to-left from it.)
+    // name LMS substrings; names at sa[n1 + pos/2]. Store each LMS
+    // substring LENGTH first (sequential backward typed pass), so
+    // naming is a length check + memcmp (equal chars + equal length
+    // forces equal interior types).
     std::memset(sa + n1, -1, (n - n1) * sizeof(int32_t));
     {
         int64_t last = -1;
-        for (int64_t i = n - 1; i >= 1; i--)
-            if (t[i] && !t[i - 1]) {
-                sa[n1 + (i >> 1)] = (last < 0) ? 1 : int32_t(last - i + 1);
-                last = i;
-            }
+        for (int64_t k = 0; k < n1_total; k++) {   // descending positions
+            const int64_t p = lms[k];
+            sa[n1 + (p >> 1)] =
+                (last < 0) ? int32_t(n - p) : int32_t(last - p + 1);
+            last = p;
+        }
     }
     int64_t name = 0;
-    int64_t prev = -1;
-    int32_t prevlen = 0;
-    for (int64_t i = 0; i < n1; i++) {
-        if (i + 8 < n1) {
-            const int64_t pp = sa[i + 8];
-            KZ_PREFETCH(s + pp);
-            KZ_PREFETCH(sa + n1 + (pp >> 1));
+    {
+        int64_t prev = -1;
+        int32_t prevlen = 0;
+        for (int64_t i = 0; i < n1; i++) {
+            if (i + 8 < n1) {
+                const int64_t pp = sa[i + 8];
+                KZ_PREFETCH(s + pp);
+                KZ_PREFETCH(sa + n1 + (pp >> 1));
+            }
+            const int64_t pos = sa[i];
+            const int32_t len = sa[n1 + (pos >> 1)];
+            if (prev < 0 || len != prevlen
+                || std::memcmp(s + pos, s + prev,
+                               size_t(len) * sizeof(T)) != 0) {
+                name++;
+                prev = pos;
+                prevlen = len;
+            }
+            sa[n1 + (pos >> 1)] = int32_t(name - 1);
         }
-        const int64_t pos = sa[i];
-        const int32_t len = sa[n1 + (pos >> 1)];
-        if (prev < 0 || len != prevlen
-            || std::memcmp(s + pos, s + prev,
-                           size_t(len) * sizeof(T)) != 0) {
-            name++;
-            prev = pos;
-            prevlen = len;
-        }
-        sa[n1 + (pos >> 1)] = int32_t(name - 1);
     }
     // compact names into s1 at the tail of sa
     int32_t* s1 = sa + n - n1;
     for (int64_t i = n - 1, j = n - 1; i >= n1; i--)
         if (sa[i] >= 0) sa[j--] = sa[i];
 
-    // stage 2: order LMS suffixes
+    // ---- stage 2: order LMS suffixes
     if (name < n1) {
-        sais<int32_t>(s1, sa, n1, name, t + n);
-        // NOTE: recursion classifies into the same t buffer region
+        sais<int32_t>(s1, sa, n1, name);
     } else {
         for (int64_t i = 0; i < n1; i++) sa[s1[i]] = int32_t(i);
     }
 
     // p1 = LMS positions in text order (reuse s1 storage)
-    for (int64_t i = 1, j = 0; i < n; i++)
-        if (t[i] && !t[i - 1]) s1[j++] = int32_t(i);
+    for (int64_t k = 0; k < n1; k++) s1[n1 - 1 - k] = lms[k];
     for (int64_t i = 0; i < n1; i++) {
         if (i + 16 < n1) KZ_PREFETCH(s1 + sa[i + 16]);
         sa[i] = s1[sa[i]];
     }
 
-    // stage 3: induce the full SA from sorted LMS suffixes
+    // ---- stage 3: induce the full SA from sorted LMS suffixes
     std::memset(sa + n1, -1, (n - n1) * sizeof(int32_t));
     bucket_ends();
     for (int64_t i = n1 - 1; i >= 0; i--) {
         if (i - 8 >= 0) KZ_PREFETCH(s + sa[i - 8]);
         const int32_t j = sa[i];
         sa[i] = -1;
-        sa[--bkt[s[j] & TMASK]] = j;
+        sa[--bkt[s[j]]] = j;
     }
-    induce(false);
+    induce_L();
+    induce_S(std::false_type{});
 }
 
 }  // namespace
@@ -222,22 +251,11 @@ extern "C" {
 int kz_sa(const uint8_t* src, int64_t n, int32_t* sa) {
     if (n <= 0) return 0;
     if (n == 1) { sa[0] = 0; return 0; }
-    const int64_t m = n + 1;
-    std::vector<uint16_t> s;
-    std::vector<int32_t> sa2;
-    std::vector<uint8_t> t;
     try {
-        s.resize(m);
-        sa2.resize(m);
-        t.resize(2 * m);  // recursion shares the tail half
+        sais<uint8_t>(src, sa, n, 256);
     } catch (...) {
         return -1;
     }
-    for (int64_t i = 0; i < n; i++) s[i] = uint16_t(src[i]) + 1;
-    s[n] = 0;  // sentinel, unique minimum
-    sais<uint16_t>(s.data(), sa2.data(), m, 257, t.data());
-    // sa2[0] is the sentinel suffix; drop it
-    std::memcpy(sa, sa2.data() + 1, n * sizeof(int32_t));
     return 0;
 }
 
