@@ -98,14 +98,16 @@ class SRT(ByteTransform):
             return src.copy()
         if length < 256:
             raise ValueError("SRT: block too short")
-        data = src.tolist()
-        freqs, header_size = self._decode_header(data, length)
+        # header is at most 256 5-byte varints: convert only that prefix
+        # (a full-block tolist cost more than the native inverse itself)
+        data = src[:min(length, 1280)].tolist()
+        freqs, header_size = self._decode_header(data, len(data))
         length -= header_size
         from kanzi_tpu.utils import native
         if native.transforms_available():
             return native.srt_inverse(src[header_size:],
                                       np.asarray(freqs, np.int64))
-        data = data[header_size:]
+        data = src[header_size:].tolist()
         symbols = _sorted_symbols(freqs)
         nb_symbols = len(symbols)
         buckets = [0] * 256

@@ -46,31 +46,44 @@ struct FPAQ {
             for (auto& p : row) p = 65536 >> 1;
     }
 
+    inline bool enc_bit(uint64_t& low, uint64_t& high, int bit,
+                        int32_t& pref, uint8_t* dst, int64_t cap,
+                        int64_t& o) {
+        const int32_t prob = pref;
+        if (bit == 0) {
+            low = low + ((((high - low) >> 8) * uint64_t(prob)) >> 8) + 1;
+            pref = prob - (prob >> 6);
+        } else {
+            high = low + ((((high - low) >> 8) * uint64_t(prob)) >> 8);
+            pref = prob - ((prob - 65536 + 64) >> 6);
+        }
+        if (((low ^ high) >> 24) == 0) {
+            if (o + 4 > cap) return false;
+            put_be32(dst + o, uint32_t(high >> 24));
+            o += 4;
+            low = (low << 32) & MASK56;
+            high = ((high << 32) | MASK32) & MASK56;
+        }
+        return true;
+    }
+
     int64_t enc_chunk(uint64_t& low, uint64_t& high, const uint8_t* src,
                       int64_t n, uint8_t* dst, int64_t cap) {
         int64_t o = 0;
         int32_t* p = probs[0];
+        // fully unrolled 8-bit ladder (no per-bit shift arithmetic)
         for (int64_t i = 0; i < n; i++) {
             const int val = src[i];
             const int bits = val + 256;
-            for (int sh = 7; sh >= 0; sh--) {
-                const int ctx = bits >> (sh + 1);
-                const int32_t prob = p[ctx];
-                if (((val >> sh) & 1) == 0) {
-                    low = low + ((((high - low) >> 8) * uint64_t(prob)) >> 8) + 1;
-                    p[ctx] = prob - (prob >> 6);
-                } else {
-                    high = low + ((((high - low) >> 8) * uint64_t(prob)) >> 8);
-                    p[ctx] = prob - ((prob - 65536 + 64) >> 6);
-                }
-                if (((low ^ high) >> 24) == 0) {
-                    if (o + 4 > cap) return -1;
-                    put_be32(dst + o, uint32_t(high >> 24));
-                    o += 4;
-                    low = (low << 32) & MASK56;
-                    high = ((high << 32) | MASK32) & MASK56;
-                }
-            }
+            if (!enc_bit(low, high, val & 0x80, p[1], dst, cap, o)
+                || !enc_bit(low, high, val & 0x40, p[bits >> 7], dst, cap, o)
+                || !enc_bit(low, high, val & 0x20, p[bits >> 6], dst, cap, o)
+                || !enc_bit(low, high, val & 0x10, p[bits >> 5], dst, cap, o)
+                || !enc_bit(low, high, val & 0x08, p[bits >> 4], dst, cap, o)
+                || !enc_bit(low, high, val & 0x04, p[bits >> 3], dst, cap, o)
+                || !enc_bit(low, high, val & 0x02, p[bits >> 2], dst, cap, o)
+                || !enc_bit(low, high, val & 0x01, p[bits >> 1], dst, cap, o))
+                return -1;
             p = probs[val >> 6];
         }
         return o;
