@@ -25,9 +25,30 @@ level cost ~7.5 us each. The TPU-first design here is two Pallas kernels:
 
 Renorm emission words (flag<<16 | hi<<8 | lo) then flow through the
 existing reorder + butterfly stream compaction from kanzi_tpu.ops.ans.
-Decode stays on the host native path (the decode loop's table index
-depends on the evolving state, and its 512K-entry per-chunk inverse
-table does not fit the gather-cascade budget).
+
+Decode stays on the host native path (kz_ans1_dec_block), by design
+rather than omission. Quantitatively:
+
+- The encoder's bilinear MXU gather works because encode-side table
+  indexes (prev<<8 | cur) are known for ALL positions up front — the
+  64K-entry gather parallelizes over thousands of positions per matmul.
+  Decode is sequential per lane: index (ctx, state&2047) exists only
+  after the previous step retires, so at most G chunks x 4 lanes are
+  live per step.
+- The ANS0/Huffman decoders' bitmap-rank scheme needs the per-chunk
+  freq->symbol map to fit a few one-vreg (128-lane) gathers per step.
+  Order-1 has 256 contexts x 2048 residues: the boundary-bitmap form is
+  256 x 64 = 16K words per chunk = a 128-subtable gather cascade per
+  step — ~2 orders of magnitude over budget.
+- A per-step one-hot matmul against the packed inverse table would
+  stream [G, 2048, 256] bf16 tables from HBM every step (G=64 -> 64 MB
+  x 4096 steps = 262 GB of HBM traffic per 4 MiB batch) — three orders
+  of magnitude past the chip's bandwidth budget for the data decoded.
+
+The reference decodes this stage at ~180-260 MB/s on one core
+(src/entropy/ANSRangeDecoder.cpp:240-277); the native whole-block
+decoder (native/transforms.cpp kz_ans1_dec_block) is the equivalent
+here and is what the product path uses.
 """
 
 from __future__ import annotations

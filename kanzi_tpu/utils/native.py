@@ -503,7 +503,7 @@ def ans0_enc_block(block: np.ndarray, chunk_size: int, lr: int):
                                   lr, _u8ptr(out), cap)
     if nbits < 0:
         raise RuntimeError("ANS block encode: output capacity exceeded")
-    return out[:(int(nbits) + 7) >> 3].tobytes(), int(nbits)
+    return out[:(int(nbits) + 7) >> 3], int(nbits)
 
 
 def ans0_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
@@ -536,7 +536,7 @@ def huff_enc_block(block: np.ndarray, chunk_size: int):
                                   _u8ptr(out), cap)
     if nbits < 0:
         return None
-    return out[:(int(nbits) + 7) >> 3].tobytes(), int(nbits)
+    return out[:(int(nbits) + 7) >> 3], int(nbits)
 
 
 def huff_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,
@@ -570,7 +570,7 @@ def ans1_enc_block(block: np.ndarray, chunk_size: int, lr: int):
                                   lr, _u8ptr(out), cap)
     if nbits < 0:
         raise RuntimeError("ANS1 block encode: output capacity exceeded")
-    return out[:(int(nbits) + 7) >> 3].tobytes(), int(nbits)
+    return out[:(int(nbits) + 7) >> 3], int(nbits)
 
 
 def ans1_dec_block(buf: bytes, nbits: int, bitpos: int, count: int,

@@ -1247,7 +1247,19 @@ namespace {
 // writer. Returns 0, or -2 on invalid code lengths.
 int huff_enc_chunk_into(HBitW& w, const uint8_t* chunk, int64_t count) {
     int64_t freq[256] = {0};
-    for (int64_t i = 0; i < count; i++) freq[chunk[i]]++;
+    {   // 4 sub-tables break the increment dependency chain
+        int32_t t0[256] = {0}, t1[256] = {0}, t2[256] = {0}, t3[256] = {0};
+        int64_t i = 0;
+        for (; i + 4 <= count; i += 4) {
+            t0[chunk[i]]++;
+            t1[chunk[i + 1]]++;
+            t2[chunk[i + 2]]++;
+            t3[chunk[i + 3]]++;
+        }
+        for (; i < count; i++) t0[chunk[i]]++;
+        for (int c = 0; c < 256; c++)
+            freq[c] = int64_t(t0[c]) + t1[c] + t2[c] + t3[c];
+    }
     int alpha[256];
     int acount = 0;
     for (int s = 0; s < 256; s++)
@@ -1385,25 +1397,47 @@ int huff_enc_chunk_into(HBitW& w, const uint8_t* chunk, int64_t count) {
     for (int j = 0; j < 4; j++)
         if (int64_t(fb[j].size()) < 2 * sz_frag + 16)
             fb[j].resize(size_t(2 * sz_frag + 16));
-    HBitW w0{fb[0].data()}, w1{fb[1].data()};
-    HBitW w2{fb[2].data()}, w3{fb[3].data()};
-    const uint8_t* s0 = chunk;
-    const uint8_t* s1 = chunk + sz_frag;
-    const uint8_t* s2 = chunk + 2 * sz_frag;
-    const uint8_t* s3 = chunk + 3 * sz_frag;
     uint32_t cl[256];                  // code | len<<16: one load/symbol
     for (int s = 0; s < 256; s++)
         cl[s] = uint32_t(codes[s]) | (uint32_t(sizes[s]) << 16);
-    for (int64_t i = 0; i < sz_frag; i++) {
-        const uint32_t a = cl[s0[i]], b = cl[s1[i]];
-        const uint32_t c = cl[s2[i]], d = cl[s3[i]];
-        w0.put(a & 0xFFFF, int(a >> 16));
-        w1.put(b & 0xFFFF, int(b >> 16));
-        w2.put(c & 0xFFFF, int(c >> 16));
-        w3.put(d & 0xFFFF, int(d >> 16));
+    // per fragment: pack 4 symbols into the 64-bit state, then ONE
+    // unaligned big-endian overwrite store (idx advances bits>>3) --
+    // no per-symbol spill branch. 4 codes <= 48 bits + carry < 56.
+    int64_t fbits[4];
+    for (int j = 0; j < 4; j++) {
+        const uint8_t* sj = chunk + j * sz_frag;
+        uint8_t* buf = fb[j].data();
+        int64_t idx = 0;
+        int bits = 0;
+        uint64_t state = 0;
+        const int64_t sz4 = sz_frag & ~int64_t(3);
+        for (int64_t i = 0; i < sz4; i += 4) {
+            const uint32_t a = cl[sj[i]], b = cl[sj[i + 1]];
+            const uint32_t c = cl[sj[i + 2]], d = cl[sj[i + 3]];
+            const int la = int(a >> 16), lb = int(b >> 16);
+            const int lc = int(c >> 16), ld = int(d >> 16);
+            state = (state << (la + lb))
+                  | (uint64_t(a & 0xFFFF) << lb) | (b & 0xFFFF);
+            state = (state << (lc + ld))
+                  | (uint64_t(c & 0xFFFF) << ld) | (d & 0xFFFF);
+            bits += la + lb + lc + ld;
+            const uint64_t be = __builtin_bswap64(state << (64 - bits));
+            std::memcpy(buf + idx, &be, 8);
+            idx += bits >> 3;
+            bits &= 7;
+        }
+        for (int64_t i = sz4; i < sz_frag; i++) {
+            const uint32_t a = cl[sj[i]];
+            state = (state << (a >> 16)) | (a & 0xFFFF);
+            bits += int(a >> 16);
+        }
+        fbits[j] = 8 * idx + bits;
+        while (bits >= 8) {
+            bits -= 8;
+            buf[idx++] = uint8_t(state >> bits);
+        }
+        if (bits) buf[idx] = uint8_t(state << (8 - bits));
     }
-    int64_t fbits[4] = {w0.finish(), w1.finish(), w2.finish(),
-                        w3.finish()};
     for (int j = 0; j < 4; j++) varint_put(w, uint32_t(fbits[j]));
     for (int j = 0; j < 4; j++) {
         const uint8_t* d = fb[j].data();
@@ -1546,11 +1580,19 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
                 fragbuf[j][size_t(i)] =
                     (b0 + i) < total_bytes ? buf[b0 + i] : 0;
         } else {
-            for (int64_t i = 0; i < nbytes; i++) {
+            // vectorizable shift-merge over the interior, guarded tail
+            const int64_t safe = (b0 + nbytes + 1 <= total_bytes)
+                ? nbytes : (total_bytes - b0 - 1 > 0
+                            ? total_bytes - b0 - 1 : 0);
+            uint8_t* fj = fragbuf[j].data();
+            const uint8_t* bp = buf + b0;
+            for (int64_t i = 0; i < safe; i++)
+                fj[i] = uint8_t((bp[i] << off) | (bp[i + 1] >> (8 - off)));
+            for (int64_t i = safe; i < nbytes; i++) {
                 const uint8_t hi = uint8_t(buf[b0 + i] << off);
                 const uint8_t lo = (b0 + i + 1) < total_bytes
                     ? uint8_t(buf[b0 + i + 1] >> (8 - off)) : 0;
-                fragbuf[j][size_t(i)] = hi | lo;
+                fj[i] = hi | lo;
             }
         }
         memset(fragbuf[j].data() + nbytes, 0, 8);
@@ -1567,11 +1609,12 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
         uint8_t* o3 = out + 3 * sz_frag;
         int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
         auto peek = [&](const uint8_t* fb, int64_t bp) -> uint32_t {
-            const int64_t byte = bp >> 3;
-            const uint32_t w24 = (uint32_t(fb[byte]) << 16)
-                               | (uint32_t(fb[byte + 1]) << 8)
-                               | fb[byte + 2];
-            return (w24 >> (12 - (bp & 7))) & 0xFFF;
+            // one unaligned 64-bit BE load per symbol (fragbuf has an
+            // 8-byte zero pad) instead of three byte loads + shifts
+            uint64_t w;
+            std::memcpy(&w, fb + (bp >> 3), 8);
+            w = __builtin_bswap64(w) << (bp & 7);
+            return uint32_t(w >> 52);
         };
         for (int64_t i = 0; i < sz_frag; i++) {
             const uint32_t v0 = peek(fb0, b0);
