@@ -337,8 +337,11 @@ def prepare_ans0_batch(states: list) -> None:
 def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
                  transform_type: int, entropy_type: int, block_size: int,
                  checksum_bits: int = 0,
-                 listeners: Optional[ListenerBus] = None) -> np.ndarray:
-    """Per-block inverse pipeline (DecodingTask::run :790-1040)."""
+                 listeners: Optional[ListenerBus] = None,
+                 out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-block inverse pipeline (DecodingTask::run :790-1040).
+    out: optional preallocated destination view — the final inverse
+    stage then writes in place (the returned array is out[:n])."""
     ibs = BitReader(payload)
     t_type = transform_type
     e_type = entropy_type
@@ -394,7 +397,13 @@ def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
 
     transform = tfactory.new_transform(bctx, t_type)
     transform.skip_flags = skip_flags
-    data = transform.inverse(buf)
+    data = None
+    if out is not None and checksum_bits == 0:
+        n = transform.inverse_into(buf, out)
+        if n is not None:
+            data = out[:n]
+    if data is None:
+        data = transform.inverse(buf)
 
     if checksum_bits == 32:
         checksum2 = xxhash32(data.tobytes())
@@ -737,13 +746,25 @@ class CompressedReader:
             # before the object is ever exposed) — skips the final
             # full-size copy a bytearray/ndarray staging would need
             result, out = _alloc_bytes_buffer(total)
+            bs = self.block_size
+
+            def view(block_id):
+                # non-final blocks decode to exactly block_size bytes,
+                # so block i's destination offset is fixed up front
+                start = (block_id - 1) * bs
+                if start >= total:
+                    return None
+                return out[start:min(start + bs, total)]
+
             pos = 0
-            gen = self.read_blocks_np(from_block, to_block)
+            gen = self.read_blocks_np(from_block, to_block,
+                                      out_view_fn=view)
             for data in gen:
                 if pos + data.size > total:      # lying header: fall back
                     rest = [np.array(out[:pos]), data] + list(gen)
                     return np.concatenate(rest).tobytes()
-                out[pos:pos + data.size] = data
+                if data.base is not out:         # not decoded in place
+                    out[pos:pos + data.size] = data
                 pos += data.size
             if pos == total and result is not None:
                 return result
@@ -759,7 +780,8 @@ class CompressedReader:
             yield data.tobytes()
 
     def read_blocks_np(self, from_block: int = 1,
-                       to_block: int = MAX_BLOCK_ID):
+                       to_block: int = MAX_BLOCK_ID,
+                       out_view_fn=None):
         """Yield decoded blocks in order as uint8 arrays (streaming
         decode: with a file-object source and a consumer that writes
         each block out, peak memory is O(block size)). With jobs > 1, up
@@ -793,20 +815,22 @@ class CompressedReader:
                     self.listeners.notify(Event(
                         EventType.BLOCK_INFO, block_id, (bits + 7) >> 3,
                         offset=self.ibs.tell() - bits))
+                view = out_view_fn(block_id) if out_view_fn else None
                 if ex is None:
                     data = decode_block(payload, bits, block_id, self.ctx,
                                         self.transform_type,
                                         self.entropy_type,
                                         self.block_size,
                                         self.checksum_bits,
-                                        self.listeners)
+                                        self.listeners, out=view)
                     self._blocks_decoded += 1
                     yield data
                     continue
                 inflight.append(ex.submit(
                     decode_block, payload, bits, block_id, self.ctx,
                     self.transform_type, self.entropy_type,
-                    self.block_size, self.checksum_bits, self.listeners))
+                    self.block_size, self.checksum_bits, self.listeners,
+                    view))
                 while len(inflight) >= self.jobs:
                     data = inflight.popleft().result()
                     self._blocks_decoded += 1

@@ -129,6 +129,43 @@ class BWTBlockCodec(ByteTransform):
                 p_index_size, "big")
         return np.frombuffer(bytes(header) + out_bwt.tobytes(), dtype=np.uint8)
 
+    def inverse_into(self, src: np.ndarray, out: np.ndarray):
+        """Native packed-walk inverse straight into `out` (BWT output
+        length == payload length, so the fit check is exact). Returns
+        the length or None (fallback)."""
+        src = as_u8(src)
+        block_size = len(src)
+        if block_size <= 1:
+            return None
+        from kanzi_tpu.utils import native
+        if not native.sais_available():
+            return None
+        if self.ctx.get_int("bsVersion", 6) <= 5:
+            return None
+        mode = int(src[0])
+        log_nb_chunks = (mode >> 2) & 0x07
+        p_index_size = (mode & 0x03) + 1
+        chunks = 1 << log_nb_chunks
+        header_size = 1 + chunks * p_index_size
+        n = block_size - header_size
+        if block_size < header_size or n > out.size or n <= 1:
+            return None
+        if chunks != get_bwt_chunks(n):
+            raise ValueError("BWTBlockCodec: chunk count mismatch")
+        indexes = []
+        idx = 1
+        for _ in range(chunks):
+            pi = int.from_bytes(src[idx:idx + p_index_size].tobytes(),
+                                "big")
+            if pi >= 0x7FFFFFFF:
+                raise ValueError("BWTBlockCodec: invalid primary index")
+            indexes.append(pi + 1)
+            idx += p_index_size
+        if not all(0 < ix <= n for ix in indexes):
+            indexes = indexes[:1]
+        native.bwt_inverse(src[header_size:], indexes, out=out[:n])
+        return n
+
     def inverse(self, src: np.ndarray) -> np.ndarray:
         src = as_u8(src)
         block_size = len(src)

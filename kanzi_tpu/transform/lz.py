@@ -284,6 +284,18 @@ class LZCodec(ByteTransform):
             return None
         return np.frombuffer(out, dtype=np.uint8)
 
+    def inverse_into(self, src: np.ndarray, out: np.ndarray):
+        """Native inverse straight into `out` (a view of the final
+        result buffer). Returns the output length, or None to make the
+        caller fall back to the allocating path."""
+        src = as_u8(src)
+        if len(src) < 13 or self.ctx.get_int("bsVersion", 6) < 6:
+            return None
+        from kanzi_tpu.utils import native
+        if not native.transforms_available():
+            return None
+        return native.lzx_inverse_into(src, out)
+
     def inverse(self, src: np.ndarray) -> np.ndarray:
         src = as_u8(src)
         count = len(src)

@@ -79,6 +79,34 @@ class TransformSequence:
             data = self.transforms[i].inverse(data)
         return data
 
+    def inverse_into(self, src: np.ndarray, out: np.ndarray):
+        """Inverse chain with the FINAL active stage writing straight
+        into `out` (a view of the caller's result buffer) — saves the
+        full-block staging copy for the common decode path. Returns the
+        output length, or None when `out` is too small (caller falls
+        back to inverse())."""
+        data = as_u8(src)
+        if self.skip_flags == SKIP_MASK:
+            if data.size > out.size:
+                return None
+            out[:data.size] = data
+            return data.size
+        active = [i for i in range(len(self.transforms))
+                  if not (self.skip_flags & (1 << (7 - i)))]
+        for i in reversed(active[1:]):
+            data = self.transforms[i].inverse(data)
+        last = self.transforms[active[0]]
+        fn = getattr(last, "inverse_into", None)
+        if fn is not None:
+            n = fn(data, out)
+            if n is not None:
+                return n
+        data = last.inverse(data)
+        if data.size > out.size:
+            return None
+        out[:data.size] = data
+        return data.size
+
     def max_encoded_length(self, src_len: int) -> int:
         required = src_len
         for t in self.transforms:

@@ -455,6 +455,27 @@ class TextCodec(ByteTransform):
             dst.append(0x80 | w_idx)
 
     # ---------------- inverse ----------------
+    def inverse_into(self, src: np.ndarray, out: np.ndarray):
+        """Native inverse into `out` (exact-capacity, guarded emits).
+        Returns the length or None (fallback; the allocating path then
+        raises on genuinely invalid streams)."""
+        src = as_u8(src)
+        count = len(src)
+        if count < 2 or count > MAX_BLOCK_SIZE:
+            return None
+        from kanzi_tpu.utils import native
+        if not native.text_available():
+            return None
+        cap = self.ctx.get_int("_decodeCapacity", 0)
+        if cap <= 0:
+            cap = max(self.ctx.get_int("blockSize", count), count)
+        log_hash = _dict_log_params(self.ctx, self.variant)
+        dict_size = max(STATIC_DICT_WORDS + (2 if self.variant == 1 else 0),
+                        1 << _reset_dict_size(cap))
+        return native.text_inverse(src, self.variant, log_hash,
+                                   dict_size, int(max(cap, count)),
+                                   out=out)
+
     def inverse(self, src: np.ndarray) -> np.ndarray:
         src = as_u8(src)
         count = len(src)

@@ -264,15 +264,27 @@ def text_forward(src: np.ndarray, variant: int, log_hash: int,
 
 
 def text_inverse(src: np.ndarray, variant: int, log_hash: int,
-                 dict_size0: int, dst_cap: int):
+                 dict_size0: int, dst_cap: int,
+                 out: np.ndarray | None = None):
+    """out: optional destination view — the inverse then writes in
+    place with out.size as the exact capacity (kz_text_inverse guards
+    every emit against the limit); returns the length, or None on
+    overflow/invalid stream."""
     lib = _load("text")
-    dst = np.zeros(dst_cap + 8, np.uint8)
+    if out is None:
+        dst = np.zeros(dst_cap + 8, np.uint8)
+        cap = dst_cap + 8
+    else:
+        dst = out
+        cap = out.size
     src = np.ascontiguousarray(src, np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     n = lib.kz_text_inverse(src.ctypes.data_as(u8p), len(src), variant,
                             log_hash, dict_size0,
-                            dst.ctypes.data_as(u8p), dst_cap + 8)
-    return None if n < 0 else dst[:n]
+                            dst.ctypes.data_as(u8p), cap)
+    if n < 0:
+        return None
+    return int(n) if out is not None else dst[:n]
 
 
 def lzx_available() -> bool:
@@ -764,6 +776,20 @@ def huff_code_lengths(freqs_by_rank, count: int):
     return data, int(maxlen)
 
 
+def lzx_inverse_into(src: np.ndarray, out: np.ndarray):
+    """LZ inverse writing into `out`. Returns the output length, or
+    None when `out` is too small (caller falls back to the growing
+    path). Raises on malformed streams."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    n = lib.kz_lzx_inverse(_u8ptr(src), len(src), _u8ptr(out), out.size)
+    if n == -2:
+        raise ValueError("LZ codec: malformed stream")
+    if n == -3:
+        return None
+    return int(n)
+
+
 def lzx_inverse(src: np.ndarray, dst_cap: int):
     """Returns output array; raises ValueError on malformed stream."""
     lib = _load("transforms")
@@ -926,10 +952,11 @@ def bwt_forward(src: np.ndarray, idx_count: int):
     return out, [int(v) for v in idxs]
 
 
-def bwt_inverse(bwt: np.ndarray, indexes) -> np.ndarray:
+def bwt_inverse(bwt: np.ndarray, indexes,
+                out: np.ndarray | None = None) -> np.ndarray:
     lib = _load("sais")
     n = len(bwt)
-    dst = np.empty(n, np.uint8)
+    dst = out if out is not None else np.empty(n, np.uint8)
     idxs = np.ascontiguousarray(np.asarray(indexes, np.int64))
     bwt = np.ascontiguousarray(bwt, np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
