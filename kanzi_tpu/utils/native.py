@@ -41,11 +41,17 @@ def _load(name: str):
         try:
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):
-                subprocess.run(
-                    ["g++", "-O3", "-fomit-frame-pointer", "-DNDEBUG",
-                     "-fno-rtti", "-shared", "-fPIC", "-pthread",
-                     src, "-o", so],
-                    check=True, capture_output=True, timeout=120)
+                flags = ["-O3", "-fomit-frame-pointer", "-DNDEBUG",
+                         "-fno-rtti", "-shared", "-fPIC", "-pthread"]
+                try:
+                    subprocess.run(
+                        ["g++", "-march=native", *flags, src, "-o", so],
+                        check=True, capture_output=True, timeout=120)
+                except subprocess.CalledProcessError:
+                    # toolchains without -march=native support
+                    subprocess.run(
+                        ["g++", *flags, src, "-o", so],
+                        check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(so)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             u64p = ctypes.POINTER(ctypes.c_uint64)

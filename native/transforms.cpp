@@ -555,6 +555,41 @@ int64_t kz_lzx_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
     while (true) {
         if (tk_idx >= count) return -2;
         const int token = src[tk_idx++];
+        // fast zone: >=40B slack in every cursor region -> unconditional
+        // 8/16B wild copies for short literals + short matches, one
+        // zone test instead of per-access bounds checks
+        if ((token & 0x18) && token < 0xE0 && (token & 7) != 7
+            && o + 40 <= dst_cap && src_idx + 40 <= lit_end
+            && m_idx + 4 <= count) {
+            const int64_t fmlen = (token & 0x07) + min_match;
+            int64_t fdist = src[m_idx++];
+            const int ff1 = (token >> 4) & 1;
+            const int ff2 = (token >> 3) & ff1;
+            if (ff1) fdist = (fdist << 8) | src[m_idx++];
+            if (ff2) fdist = (fdist << 8) | src[m_idx++];
+            if (token >= 32) {
+                const int64_t flit = token >> 5;     // <= 6
+                std::memcpy(dst + o, src + src_idx, 8);
+                o += flit;
+                src_idx += flit;
+            }
+            repd1 = repd0;
+            repd0 = fdist;
+            const int64_t fref = o - fdist;
+            if (fref < 0 || fdist > max_dist) return -2;
+            if (fdist >= 16) {                       // fmlen <= 15
+                std::memcpy(dst + o, dst + fref, 16);
+                o += fmlen;
+            } else if (fdist >= 8) {
+                std::memcpy(dst + o, dst + fref, 8);
+                std::memcpy(dst + o + 8, dst + fref + 8, 8);
+                o += fmlen;
+            } else {
+                for (int64_t i = 0; i < fmlen; i++, o++)
+                    dst[o] = dst[fref + i];
+            }
+            continue;
+        }
         int64_t mlen, dist;
         if ((token & 0x18) == 0) {
             mlen = token & 0x03;
@@ -1533,13 +1568,11 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
     int codes[256];
     if (canonical_codes(sizes, alpha, acount, codes) != 0) return -6;
 
-    // flat 12-bit table (indices clamped like the numpy slice fill)
-    static thread_local std::vector<uint8_t> tbl_sym_v(4096);
-    static thread_local std::vector<uint8_t> tbl_len_v(4096);
-    uint8_t* tbl_sym = tbl_sym_v.data();
-    uint8_t* tbl_len = tbl_len_v.data();
-    memset(tbl_sym, 0, 4096);
-    memset(tbl_len, 7, 4096);
+    // flat 12-bit table, one u16 entry = len<<8 | sym (single load per
+    // symbol in the walk; indices clamped like the numpy slice fill)
+    static thread_local std::vector<uint16_t> tbl_v(4096);
+    uint16_t* tbl = tbl_v.data();
+    std::fill_n(tbl, 4096, uint16_t(7 << 8));
     for (int i = 0; i < acount; i++) {
         const int s = alpha[i];
         const int ln = sizes[s];
@@ -1548,10 +1581,8 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
         int64_t end = idx + wdt;
         if (idx < 0) idx = 0;
         if (end > 4096) end = 4096;
-        for (int64_t k = idx; k < end; k++) {
-            tbl_sym[k] = uint8_t(s);
-            tbl_len[k] = uint8_t(ln);
-        }
+        const uint16_t e = uint16_t((ln << 8) | s);
+        for (int64_t k = idx; k < end; k++) tbl[k] = e;
     }
 
     const int64_t sz_frag = sz_chunk / 4;
@@ -1608,23 +1639,59 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
         uint8_t* o2 = out + 2 * sz_frag;
         uint8_t* o3 = out + 3 * sz_frag;
         int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+        auto be64 = [](const uint8_t* p) -> uint64_t {
+            uint64_t w;
+            std::memcpy(&w, p, 8);
+            return __builtin_bswap64(w);
+        };
+        // register-buffered walk: one 8-byte BE load per chain per
+        // 4-symbol group (48 bits >= 4 codes of <= 12 bits each) --
+        // between refills every decode step is shift + one table load.
+        // bp <= nb at group entry keeps the refill read inside the
+        // 8-byte zero pad; a valid stream never exceeds its frag_bits,
+        // so an overshoot means a corrupt table/stream.
+        int64_t i = 0;
+        for (; i + 4 <= sz_frag; i += 4) {
+            if (b0 > frag_bits[0] || b1 > frag_bits[1]
+                || b2 > frag_bits[2] || b3 > frag_bits[3]) return -2;
+            uint64_t w0 = be64(fb0 + (b0 >> 3)) << (b0 & 7);
+            uint64_t w1 = be64(fb1 + (b1 >> 3)) << (b1 & 7);
+            uint64_t w2 = be64(fb2 + (b2 >> 3)) << (b2 & 7);
+            uint64_t w3 = be64(fb3 + (b3 >> 3)) << (b3 & 7);
+            int c0 = 0, c1 = 0, c2 = 0, c3 = 0;
+            for (int k = 0; k < 4; k++) {
+                const uint16_t e0 = tbl[w0 >> 52];
+                const uint16_t e1 = tbl[w1 >> 52];
+                const uint16_t e2 = tbl[w2 >> 52];
+                const uint16_t e3 = tbl[w3 >> 52];
+                o0[i + k] = uint8_t(e0); w0 <<= (e0 >> 8); c0 += e0 >> 8;
+                o1[i + k] = uint8_t(e1); w1 <<= (e1 >> 8); c1 += e1 >> 8;
+                o2[i + k] = uint8_t(e2); w2 <<= (e2 >> 8); c2 += e2 >> 8;
+                o3[i + k] = uint8_t(e3); w3 <<= (e3 >> 8); c3 += e3 >> 8;
+            }
+            b0 += c0; b1 += c1; b2 += c2; b3 += c3;
+        }
         auto peek = [&](const uint8_t* fb, int64_t bp) -> uint32_t {
-            // one unaligned 64-bit BE load per symbol (fragbuf has an
-            // 8-byte zero pad) instead of three byte loads + shifts
             uint64_t w;
             std::memcpy(&w, fb + (bp >> 3), 8);
             w = __builtin_bswap64(w) << (bp & 7);
             return uint32_t(w >> 52);
         };
-        for (int64_t i = 0; i < sz_frag; i++) {
+        for (; i < sz_frag; i++) {
+            if (b0 > frag_bits[0] || b1 > frag_bits[1]
+                || b2 > frag_bits[2] || b3 > frag_bits[3]) return -2;
             const uint32_t v0 = peek(fb0, b0);
             const uint32_t v1 = peek(fb1, b1);
             const uint32_t v2 = peek(fb2, b2);
             const uint32_t v3 = peek(fb3, b3);
-            o0[i] = tbl_sym[v0]; b0 += tbl_len[v0];
-            o1[i] = tbl_sym[v1]; b1 += tbl_len[v1];
-            o2[i] = tbl_sym[v2]; b2 += tbl_len[v2];
-            o3[i] = tbl_sym[v3]; b3 += tbl_len[v3];
+            const uint16_t e0 = tbl[v0];
+            const uint16_t e1 = tbl[v1];
+            const uint16_t e2 = tbl[v2];
+            const uint16_t e3 = tbl[v3];
+            o0[i] = uint8_t(e0); b0 += e0 >> 8;
+            o1[i] = uint8_t(e1); b1 += e1 >> 8;
+            o2[i] = uint8_t(e2); b2 += e2 >> 8;
+            o3[i] = uint8_t(e3); b3 += e3 >> 8;
         }
     }
     for (int64_t i = 4 * sz_frag; i < sz_chunk; i++) {
