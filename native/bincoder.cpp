@@ -404,6 +404,13 @@ struct TPAQ {
         const uint32_t idx3 = (ctx[3] + c0) & sm;
         const uint32_t idx4 = (ctx[4] + c0) & sm;
         const uint32_t idx5 = (ctx[5] ^ c0) & sm;
+        // hide the big-table DRAM miss latency behind the state
+        // transitions + mixer work below (the 4-5 random big[] lines
+        // are the per-bit cost ceiling at these table sizes)
+        __builtin_prefetch(big + idx2, 0, 1);
+        __builtin_prefetch(big + idx3, 0, 1);
+        __builtin_prefetch(big + idx4, 0, 1);
+        __builtin_prefetch(big + idx5, 0, 1);
 
         const uint8_t* table = KZ_STATE_TRANSITIONS[bit];
         for (int k = 0; k < 6; k++) *cp[k] = table[*cp[k]];
@@ -434,6 +441,7 @@ struct TPAQ {
                 p = (3 * sse0.get(bit, p, c0) + p) >> 2;
         } else {
             const uint32_t idx6 = (ctx[6] + c0) & sm;
+            __builtin_prefetch(big + idx6, 0, 1);
             *cp[6] = table[*cp[6]];
             cp[6] = big + idx6;
             ps[6] = KZ_STATE_MAP[big[idx6]];
