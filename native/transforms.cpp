@@ -13,6 +13,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -860,7 +863,29 @@ inline int64_t rolz_find_match1(const uint8_t* data, int64_t base,
     int64_t best_idx = -1;
     const int64_t max_match =
         ((ROLZ_MAX_MATCH1 < end - pos) ? ROLZ_MAX_MATCH1 : end - pos) - 8;
+    // pre-filter: one vector compare finds the (usually 0-2) hash-tag
+    // hits in the whole chain row; the scan then touches only those.
+    // Purely an accelerator -- the scalar tag check below stays, so
+    // rows not divisible by 8 just skip the filter.
+    uint32_t hit = ~0u;
+#if defined(__AVX2__)
+    if ((pos_checks & 7) == 0) {
+        hit = 0;
+        const __m256i vmask = _mm256_set1_epi32(int32_t(ROLZ_HASH_MASK32));
+        const __m256i vh = _mm256_set1_epi32(int32_t(h32));
+        for (int off = 0; off < pos_checks; off += 8) {
+            const __m256i row = _mm256_loadu_si256(
+                reinterpret_cast<const __m256i*>(matches + mbase + off));
+            const __m256i eq = _mm256_cmpeq_epi32(
+                _mm256_and_si256(row, vmask), vh);
+            hit |= uint32_t(_mm256_movemask_ps(_mm256_castsi256_ps(eq)))
+                   << off;
+        }
+        if (hit == 0) return -1;
+    }
+#endif
     for (int32_t i = s; i > s - pos_checks; i--) {
+        if (!((hit >> (i & mask)) & 1)) continue;
         uint32_t ref = matches[mbase + (i & mask)];
         if ((ref & ROLZ_HASH_MASK32) != h32) continue;
         ref &= ~ROLZ_HASH_MASK32;
@@ -2399,14 +2424,24 @@ extern "C" {
 // varint/state framing. Bit-exact with the Python per-chunk path.
 // ---------------------------------------------------------------------
 
+// per-(ctx,sym) encode constants packed into one 24-byte record: the
+// backward walk then touches ~1 cache line per step instead of 5
+// parallel 512 KiB arrays (the walk is L2-miss bound at these sizes)
+struct Ans1Sym {
+    uint32_t inv_f;
+    uint32_t bias;
+    uint32_t cmpl;
+    uint32_t inv_s;
+    int64_t xmax;
+};
+
 int64_t kz_ans1_enc_block(const uint8_t* src, int64_t count,
                           int64_t chunk_size, int lr, uint8_t* out,
                           int64_t out_cap) {
     HBitW w{out};
     const int64_t scale = int64_t(1) << lr;
-    std::vector<int64_t> hist(65536), xmax(65536), bias(65536),
-        cmpl(65536);
-    std::vector<uint64_t> inv_f(65536), inv_s(65536);
+    std::vector<int64_t> hist(65536);
+    std::vector<Ans1Sym> tab(65536);
     std::vector<uint8_t> pay;
     for (int64_t start = 0; start < count; start += chunk_size) {
         const int64_t csize =
@@ -2448,23 +2483,24 @@ int64_t kz_ans1_enc_block(const uint8_t* src, int64_t count,
             const int64_t* row = hist.data() + int64_t(k) * 256;
             int64_t cum = 0;
             for (int s = 0; s < 256; s++) {
-                const int64_t j = int64_t(k) * 256 + s;
+                Ans1Sym& e = tab[int64_t(k) * 256 + s];
                 int64_t f = row[s];
                 if (f > scale - 1) f = scale - 1;
-                xmax[j] = ((KZ_ANS_TOP >> lr) << 16) * f;
-                cmpl[j] = scale - f;
+                e.xmax = ((KZ_ANS_TOP >> lr) << 16) * f;
+                e.cmpl = uint32_t(scale - f);
                 if (f < 2) {
-                    inv_f[j] = 0xFFFFFFFFull;
-                    inv_s[j] = 32;
-                    bias[j] = cum + scale - 1;
+                    e.inv_f = 0xFFFFFFFFu;
+                    e.inv_s = 32;
+                    e.bias = uint32_t(cum + scale - 1);
                 } else {
                     int shift = 0;
                     int64_t v = f - 1;
                     while (v) { shift++; v >>= 1; }
-                    inv_f[j] = ((1ull << (shift + 31)) + uint64_t(f) - 1)
-                               / uint64_t(f) & 0xFFFFFFFFull;
-                    inv_s[j] = uint64_t(32 + shift - 1);
-                    bias[j] = cum;
+                    e.inv_f = uint32_t(
+                        ((1ull << (shift + 31)) + uint64_t(f) - 1)
+                        / uint64_t(f));
+                    e.inv_s = uint32_t(32 + shift - 1);
+                    e.bias = uint32_t(cum);
                 }
                 cum += f;
             }
@@ -2477,7 +2513,16 @@ int64_t kz_ans1_enc_block(const uint8_t* src, int64_t count,
         if (int64_t(pay.size()) < 2 * csize + 8) pay.resize(2 * csize + 8);
         int64_t wp = int64_t(pay.size());
         int64_t st[4] = {KZ_ANS_TOP, KZ_ANS_TOP, KZ_ANS_TOP, KZ_ANS_TOP};
+        const Ans1Sym* tp = tab.data();
         for (int64_t t = 0; t < quarter; t++) {
+            if (t + 3 < quarter) {          // hide the table L2 miss
+                const int64_t i = quarter - 5 - t;
+                for (int lane = 0; lane < 4; lane++) {
+                    const uint8_t* q0 = chunk + int64_t(lane) * quarter + i;
+                    __builtin_prefetch(tp + ((int(q0[0]) << 8) | q0[1]),
+                                       0, 1);
+                }
+            }
             for (int lane = 0; lane < 4; lane++) {
                 int32_t sidx;
                 if (t == quarter - 1) {
@@ -2488,15 +2533,16 @@ int64_t kz_ans1_enc_block(const uint8_t* src, int64_t count,
                     const int sym = chunk[int64_t(lane) * quarter + i + 1];
                     sidx = (ctx << 8) | sym;
                 }
+                const Ans1Sym& e = tp[sidx];
                 int64_t x = st[lane];
-                if (x >= xmax[sidx]) {
+                if (x >= e.xmax) {
                     pay[--wp] = uint8_t(x & 0xFF);
                     pay[--wp] = uint8_t((x >> 8) & 0xFF);
                     x >>= 16;
                 }
                 const int64_t q =
-                    int64_t((uint64_t(x) * inv_f[sidx]) >> inv_s[sidx]);
-                st[lane] = x + bias[sidx] + q * cmpl[sidx];
+                    int64_t((uint64_t(x) * e.inv_f) >> e.inv_s);
+                st[lane] = x + e.bias + q * int64_t(e.cmpl);
             }
         }
         const int64_t renorm = int64_t(pay.size()) - wp;
@@ -2514,7 +2560,8 @@ int64_t kz_ans1_enc_block(const uint8_t* src, int64_t count,
 int64_t kz_ans1_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
                           int64_t count, int64_t chunk_size,
                           uint8_t* out, int64_t* decoded_out) {
-    std::vector<int64_t> freqs(65536), cum(65536);
+    std::vector<int64_t> freqs(65536);
+    std::vector<uint64_t> fc(65536);    // freq | cum<<32 (one line/step)
     std::vector<uint8_t> f2s;
     std::vector<uint8_t> payload;
     int64_t start = 0;
@@ -2582,14 +2629,13 @@ int64_t kz_ans1_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
                 const int64_t j = int64_t(k) * 256 + s;
                 int64_t f = freqs[j];
                 if (f > scale - 1) f = scale - 1;
-                freqs[j] = f;
-                cum[j] = c;
+                fc[j] = uint64_t(f) | (uint64_t(c) << 32);
                 c += f;
-                int64_t fc = f;
-                if (fc > scale - p) fc = scale - p;
-                if (fc > 0) {
-                    std::memset(frow + p, s, size_t(fc));
-                    p += fc;
+                int64_t fill = f;
+                if (fill > scale - p) fill = scale - p;
+                if (fill > 0) {
+                    std::memset(frow + p, s, size_t(fill));
+                    p += fill;
                 }
             }
             if (p < scale) std::memset(frow + p, 0, size_t(scale - p));
@@ -2620,15 +2666,17 @@ int64_t kz_ans1_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
         uint8_t* o = out + start;
         const uint8_t* pp = payload.data();
         int prv[4] = {0, 0, 0, 0};
+        const uint64_t* fcp = fc.data();
+        const uint8_t* f2sp = f2s.data();
         for (int64_t t = 0; t < quarter; t++) {
             for (int lane = 3; lane >= 0; lane--) {
                 int64_t s = st[lane];
                 const int p = prv[lane];
-                const int cur =
-                    f2s[(int64_t(p) << lr) + (s & mask)];
+                const int cur = f2sp[(int64_t(p) << lr) + (s & mask)];
                 o[int64_t(lane) * quarter + t] = uint8_t(cur);
-                const int64_t j = (int64_t(p) << 8) | cur;
-                s = freqs[j] * (s >> lr) + (s & mask) - cum[j];
+                const uint64_t e = fcp[(int64_t(p) << 8) | cur];
+                s = int64_t(e & 0xFFFFFFFFu) * (s >> lr) + (s & mask)
+                    - int64_t(e >> 32);
                 if (s < KZ_ANS_TOP) {
                     if (cursor > sz) return -4;
                     s = (s << 16) | (int64_t(pp[cursor]) << 8)
