@@ -1617,20 +1617,30 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
         if (r.err) return -2;
         if (frag_bits[j] < 0) return -3;
     }
-    // byte-aligned copies of all 4 fragment bitstreams (+8 pad for the
-    // 24-bit window reads of the walk), then ONE interleaved walk: the
-    // 4 streams are independent, so 4 table-walk chains in flight hide
-    // the per-symbol load latency that a serial walk eats in full.
+    // The 4 fragment bitstreams are independent, so 4 table-walk chains
+    // in flight hide the per-symbol load latency that a serial walk
+    // eats in full. Interior fragments are read DIRECTLY from buf at
+    // their bit offset (the 64-bit BE peek absorbs any shift) -- only a
+    // fragment without 8 readable bytes past its end (the block tail)
+    // gets copied into a zero-padded buffer.
     static thread_local std::vector<uint8_t> fragbuf[4];
     const int64_t total_bytes = (nbits + 7) >> 3;
+    const uint8_t* fb[4];
+    int64_t fsh[4];                  // start bit offset within fb[j]
     for (int j = 0; j < 4; j++) {
         const int64_t nb = frag_bits[j];
         if (r.pos + nb > nbits) return -2;
+        const int64_t b0 = r.pos >> 3;
+        const int off = int(r.pos & 7);
+        if (b0 + ((off + nb) >> 3) + 8 <= total_bytes) {
+            fb[j] = buf + b0;
+            fsh[j] = off;
+            r.pos += nb;
+            continue;
+        }
         const int64_t nbytes = (nb + 7) >> 3;
         if (int64_t(fragbuf[j].size()) < nbytes + 8)
             fragbuf[j].resize(size_t(nbytes + 8));
-        const int off = int(r.pos & 7);
-        const int64_t b0 = r.pos >> 3;
         if (off == 0) {
             for (int64_t i = 0; i < nbytes; i++)
                 fragbuf[j][size_t(i)] =
@@ -1652,18 +1662,24 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
             }
         }
         memset(fragbuf[j].data() + nbytes, 0, 8);
+        fb[j] = fragbuf[j].data();
+        fsh[j] = 0;
         r.pos += nb;
     }
     {
-        const uint8_t* fb0 = fragbuf[0].data();
-        const uint8_t* fb1 = fragbuf[1].data();
-        const uint8_t* fb2 = fragbuf[2].data();
-        const uint8_t* fb3 = fragbuf[3].data();
+        const uint8_t* fb0 = fb[0];
+        const uint8_t* fb1 = fb[1];
+        const uint8_t* fb2 = fb[2];
+        const uint8_t* fb3 = fb[3];
         uint8_t* o0 = out;
         uint8_t* o1 = out + sz_frag;
         uint8_t* o2 = out + 2 * sz_frag;
         uint8_t* o3 = out + 3 * sz_frag;
-        int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+        int64_t b0 = fsh[0], b1 = fsh[1], b2 = fsh[2], b3 = fsh[3];
+        const int64_t e0 = fsh[0] + frag_bits[0];
+        const int64_t e1 = fsh[1] + frag_bits[1];
+        const int64_t e2 = fsh[2] + frag_bits[2];
+        const int64_t e3 = fsh[3] + frag_bits[3];
         auto be64 = [](const uint8_t* p) -> uint64_t {
             uint64_t w;
             std::memcpy(&w, p, 8);
@@ -1672,13 +1688,13 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
         // register-buffered walk: one 8-byte BE load per chain per
         // 4-symbol group (48 bits >= 4 codes of <= 12 bits each) --
         // between refills every decode step is shift + one table load.
-        // bp <= nb at group entry keeps the refill read inside the
-        // 8-byte zero pad; a valid stream never exceeds its frag_bits,
-        // so an overshoot means a corrupt table/stream.
+        // bp <= frag end at group entry keeps the refill read inside
+        // the guaranteed slack (8 bytes past the fragment, direct or
+        // copied); a valid stream never exceeds its frag_bits, so an
+        // overshoot means a corrupt table/stream.
         int64_t i = 0;
         for (; i + 4 <= sz_frag; i += 4) {
-            if (b0 > frag_bits[0] || b1 > frag_bits[1]
-                || b2 > frag_bits[2] || b3 > frag_bits[3]) return -2;
+            if (b0 > e0 || b1 > e1 || b2 > e2 || b3 > e3) return -2;
             uint64_t w0 = be64(fb0 + (b0 >> 3)) << (b0 & 7);
             uint64_t w1 = be64(fb1 + (b1 >> 3)) << (b1 & 7);
             uint64_t w2 = be64(fb2 + (b2 >> 3)) << (b2 & 7);
@@ -1703,8 +1719,7 @@ int64_t kz_huff_dec_chunk(const uint8_t* buf, int64_t nbits, int64_t pos,
             return uint32_t(w >> 52);
         };
         for (; i < sz_frag; i++) {
-            if (b0 > frag_bits[0] || b1 > frag_bits[1]
-                || b2 > frag_bits[2] || b3 > frag_bits[3]) return -2;
+            if (b0 > e0 || b1 > e1 || b2 > e2 || b3 > e3) return -2;
             const uint32_t v0 = peek(fb0, b0);
             const uint32_t v1 = peek(fb1, b1);
             const uint32_t v2 = peek(fb2, b2);
