@@ -216,7 +216,11 @@ def device_rates(data: bytes):
     flat = np.zeros(int(plen.sum()), np.uint8)
     for i in range(chunks.shape[0]):
         flat[offs[i]:offs[i] + plen[i]] = payload[i, :plen[i]]
-    wpad = -(-(dans.PAYLOAD_MAX // 2 + 2 + 384) // 128) * 128
+    # batch-sized payload window, exactly like the product decode path
+    # (ans0_decode_flat): fewer refill segments for compressible data
+    need = int(max(2, plen.max())) // 2 + 2 + 384
+    need = -(-need // 2048) * 2048
+    wpad = min(need, -(-(dans.PAYLOAD_MAX // 2 + 2 + 384) // 128) * 128)
     fj = dans._decode_pallas_fn(c, wpad)
     fr = jnp.asarray(freqs.astype(np.int32))
     st = jnp.asarray(states.astype(np.uint32))

@@ -385,6 +385,40 @@ class ANSRangeEncoder(EntropyEncoder):
         self._emit_chunk(st, renorm, chunk[end4:end].tobytes())
 
 
+def ans0_flush_sink(entries) -> None:
+    """ONE device decode for every (out_buffer, queued-chunk-records)
+    pair collected -- within a block (_decode_device) or across many
+    blocks via the "_ans0DecodeSink" context key (the decode-side mirror
+    of the encode batcher, prepare_ans0_batch). The compact payload
+    stream (not per-chunk padded buffers) crosses the host->device link;
+    per-chunk rows are sliced out on device."""
+    allq = [q for _out, queued in entries for q in queued]
+    if not allq:
+        return
+    from kanzi_tpu.ops import ans as dans
+    n = len(allq)
+    freqs = np.stack([q[1][:256] for q in allq]).astype(np.int32)
+    states = np.stack([q[2] for q in allq])
+    sizes = np.array([q[4] for q in allq], dtype=np.int64)
+    if dans._on_tpu() and not np.any(sizes & 1):
+        offs = (np.cumsum(sizes) - sizes).astype(np.int32)
+        flat = np.frombuffer(b"".join(q[3] for q in allq),
+                             dtype=np.uint8)
+        dec, consumed = dans.ans0_decode_flat(freqs, states, flat, offs)
+    else:
+        payload = np.zeros((n, dans.PAYLOAD_MAX + 2), dtype=np.uint8)
+        for i, q in enumerate(allq):
+            payload[i, :q[4]] = np.frombuffer(q[3], dtype=np.uint8)
+        dec, consumed = dans.decode_chunks_np(freqs, states, payload)
+    i = 0
+    for out, queued in entries:
+        for (cstart, _, _, _, sz) in queued:
+            if consumed[i] != sz:
+                raise ValueError("ANS chunk payload size mismatch")
+            out[cstart:cstart + 16384] = dec[i]
+            i += 1
+
+
 class ANSRangeDecoder(EntropyDecoder):
     def __init__(self, ibs: BitReader, ctx=None, order: int = 0,
                  chunk_size: int = DEFAULT_CHUNK_SIZE):
@@ -480,32 +514,22 @@ class ANSRangeDecoder(EntropyDecoder):
                 self._decode_chunk(out, start, size, freqs, lr)
             start += size
         if queued:
-            self._decode_device(out, queued)
+            sink = self.ctx.get("_ans0DecodeSink") if self.ctx else None
+            if sink is not None:
+                # cross-block batching: the owner of the sink flushes all
+                # blocks' chunks in ONE device call (ans0_flush_sink) --
+                # `out` regions covered by `queued` stay unfilled until
+                # then, so the caller must defer its transform stage too
+                sink.append((out, queued))
+            else:
+                self._decode_device(out, queued)
         return out[:count]
 
     def _decode_device(self, out: np.ndarray, queued) -> None:
         """Batch-decode queued full 16 KiB chunks with the TPU kernel.
         The compact payload stream (not per-chunk padded buffers) crosses
         the host->device link; per-chunk rows are sliced out on device."""
-        from kanzi_tpu.ops import ans as dans
-        n = len(queued)
-        freqs = np.stack([q[1][:256] for q in queued]).astype(np.int32)
-        states = np.stack([q[2] for q in queued])
-        sizes = np.array([q[4] for q in queued], dtype=np.int64)
-        if dans._on_tpu() and not np.any(sizes & 1):
-            offs = (np.cumsum(sizes) - sizes).astype(np.int32)
-            flat = np.frombuffer(b"".join(q[3] for q in queued),
-                                 dtype=np.uint8)
-            dec, consumed = dans.ans0_decode_flat(freqs, states, flat, offs)
-        else:
-            payload = np.zeros((n, dans.PAYLOAD_MAX + 2), dtype=np.uint8)
-            for i, q in enumerate(queued):
-                payload[i, :q[4]] = np.frombuffer(q[3], dtype=np.uint8)
-            dec, consumed = dans.decode_chunks_np(freqs, states, payload)
-        for i, (cstart, _, _, _, sz) in enumerate(queued):
-            if consumed[i] != sz:
-                raise ValueError("ANS chunk payload size mismatch")
-            out[cstart:cstart + 16384] = dec[i]
+        ans0_flush_sink([(out, queued)])
 
     def _decode_chunk(self, out, start, count, freqs, lr):
         sz = eu.read_varint(self.ibs)

@@ -67,6 +67,9 @@ TRANSFORMS_MASK = 0x10
 MAX_CONCURRENCY = 64
 EXTRA_BUFFER_SIZE = 512
 MAX_BLOCK_ID = (1 << 31) - 1
+# blocks whose entropy phases are held before one cross-block device
+# flush (bounds held post-entropy buffers to ~window x block_size)
+_SINK_WINDOW = 16
 
 
 def _header_checksum(version: int, ck_size: int, entropy_type: int,
@@ -334,14 +337,17 @@ def prepare_ans0_batch(states: list) -> None:
         pos += n
 
 
-def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
-                 transform_type: int, entropy_type: int, block_size: int,
-                 checksum_bits: int = 0,
-                 listeners: Optional[ListenerBus] = None,
-                 out: Optional[np.ndarray] = None) -> np.ndarray:
-    """Per-block inverse pipeline (DecodingTask::run :790-1040).
-    out: optional preallocated destination view — the final inverse
-    stage then writes in place (the returned array is out[:n])."""
+def _decode_block_entropy(payload: bytes, bit_len: int, block_id: int,
+                          ctx: Context, transform_type: int,
+                          entropy_type: int, block_size: int,
+                          checksum_bits: int = 0,
+                          listeners: Optional[ListenerBus] = None,
+                          sink=None):
+    """Phase 1 of the per-block inverse pipeline: block header parse +
+    entropy decode. With `sink` set, device-eligible ANS0 chunks are
+    queued for a later cross-block ans0_flush_sink and the returned
+    buffer stays unfilled in those regions until the flush. Returns the
+    state tuple for _decode_block_finish."""
     ibs = BitReader(payload)
     t_type = transform_type
     e_type = entropy_type
@@ -380,13 +386,23 @@ def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
     # the decode output buffer capacity (DecodingTask allocates
     # max(blockLength, payload bytes)); TEXT sizes its dictionary from it
     bctx.put("_decodeCapacity", max(block_size, (bit_len + 7) >> 3))
+    if sink is not None:
+        bctx.put("_ans0DecodeSink", sink)
 
     ed = efactory.new_decoder(ibs, bctx, e_type)
     buf = ed.decode(pre_len)
     if len(buf) != pre_len:
         raise KanziError("Entropy decoding failed", Error.ERR_PROCESS_BLOCK)
     ed.dispose()
+    return (buf, bctx, block_id, t_type, skip_flags, pre_len,
+            checksum_bits, checksum1, listeners)
 
+
+def _decode_block_finish(state, out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Phase 2: inverse transform chain + checksum + events. Must run
+    after any pending entropy sink flush."""
+    (buf, bctx, block_id, t_type, skip_flags, pre_len,
+     checksum_bits, checksum1, listeners) = state
     if listeners:
         listeners.notify(Event(EventType.AFTER_ENTROPY, block_id, pre_len,
                                checksum=checksum1 if checksum_bits else None,
@@ -423,6 +439,20 @@ def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
                                checksum=checksum1 if checksum_bits else None,
                                hash_bits=checksum_bits))
     return data
+
+
+def decode_block(payload: bytes, bit_len: int, block_id: int, ctx: Context,
+                 transform_type: int, entropy_type: int, block_size: int,
+                 checksum_bits: int = 0,
+                 listeners: Optional[ListenerBus] = None,
+                 out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-block inverse pipeline (DecodingTask::run :790-1040).
+    out: optional preallocated destination view — the final inverse
+    stage then writes in place (the returned array is out[:n])."""
+    state = _decode_block_entropy(payload, bit_len, block_id, ctx,
+                                  transform_type, entropy_type,
+                                  block_size, checksum_bits, listeners)
+    return _decode_block_finish(state, out)
 
 
 class CompressedWriter:
@@ -795,6 +825,15 @@ class CompressedReader:
         ex = ThreadPoolExecutor(max_workers=self.jobs) \
             if self.jobs > 1 else None
         inflight = deque()
+        # cross-block device entropy batching (sequential path only):
+        # active when the device ANS path is live, a no-op sink otherwise
+        sink = None
+        pending = []
+        if ex is None:
+            from kanzi_tpu.entropy.ans import (_device_ans_enabled,
+                                               ans0_flush_sink)
+            if _device_ans_enabled():
+                sink = []
         try:
             block_id = 0
             while True:
@@ -817,6 +856,25 @@ class CompressedReader:
                         offset=self.ibs.tell() - bits))
                 view = out_view_fn(block_id) if out_view_fn else None
                 if ex is None:
+                    if sink is not None:
+                        # cross-block device batching: queue this block's
+                        # entropy phase; one ans0_flush_sink per window
+                        # decodes every queued chunk of every block in
+                        # O(1) device calls (CompressedInputStream's
+                        # prefetch analog for the accelerator)
+                        pending.append((_decode_block_entropy(
+                            payload, bits, block_id, self.ctx,
+                            self.transform_type, self.entropy_type,
+                            self.block_size, self.checksum_bits,
+                            self.listeners, sink=sink), view))
+                        if len(pending) >= _SINK_WINDOW:
+                            ans0_flush_sink(sink)
+                            sink.clear()
+                            for st, v in pending:
+                                self._blocks_decoded += 1
+                                yield _decode_block_finish(st, out=v)
+                            pending.clear()
+                        continue
                     data = decode_block(payload, bits, block_id, self.ctx,
                                         self.transform_type,
                                         self.entropy_type,
@@ -835,6 +893,13 @@ class CompressedReader:
                     data = inflight.popleft().result()
                     self._blocks_decoded += 1
                     yield data
+            if sink is not None and pending:
+                ans0_flush_sink(sink)
+                sink.clear()
+                for st, v in pending:
+                    self._blocks_decoded += 1
+                    yield _decode_block_finish(st, out=v)
+                pending.clear()
             while inflight:
                 data = inflight.popleft().result()
                 self._blocks_decoded += 1
