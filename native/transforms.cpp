@@ -86,12 +86,29 @@ int kz_srt_forward(const uint8_t* src, int64_t n, uint8_t* dst,
     std::memset(s2r, 0, sizeof(s2r));
     std::memset(r2s, 0, sizeof(r2s));
     for (int i = 0; i < 256; i++) freqs[i] = 0;
+    // 8-byte run-end scan: post-BWT input is run-heavy, so the
+    // byte-at-a-time walk is the stage's dominant cost
+    auto run_end = [&](int64_t i, int c) -> int64_t {
+        int64_t j = i + 1;
+        if (j >= n || src[j] != c) return j;   // length-1 "runs" dominate
+        const uint64_t pat = 0x0101010101010101ull * uint64_t(c);
+        for (;;) {
+            if (j + 8 <= n) {
+                uint64_t w;
+                std::memcpy(&w, src + j, 8);
+                const uint64_t d = w ^ pat;
+                if (!d) { j += 8; continue; }
+                return j + (__builtin_ctzll(d) >> 3);
+            }
+            while (j < n && src[j] == c) j++;
+            return j;
+        }
+    };
     int b = 0;
     // first-appearance ranks + run-grouped frequency count
     for (int64_t i = 0; i < n;) {
         const int c = src[i];
-        int64_t j = i + 1;
-        while (j < n && src[j] == c) j++;
+        const int64_t j = run_end(i, c);
         if (freqs[c] == 0) {
             r2s[b] = c;
             s2r[c] = b;
@@ -124,8 +141,8 @@ int kz_srt_forward(const uint8_t* src, int64_t n, uint8_t* dst,
     for (int64_t i = 0; i < n;) {
         const int c = src[i];
         int r = s2r[c];
-        int64_t pp = buckets[c];
-        dst[pp++] = uint8_t(r);
+        const int64_t pp = buckets[c];
+        dst[pp] = uint8_t(r);
         if (r != 0) {
             while (r != 0) {
                 const int t = r2s[r - 1];
@@ -136,12 +153,11 @@ int kz_srt_forward(const uint8_t* src, int64_t n, uint8_t* dst,
             r2s[0] = c;
             s2r[c] = 0;
         }
-        i++;
-        while (i < n && src[i] == c) {
-            dst[pp++] = 0;
-            i++;
-        }
-        buckets[c] = pp;
+        const int64_t j = run_end(i, c);
+        const int64_t rl = j - i - 1;     // zero ranks for the run tail
+        if (rl > 0) std::memset(dst + pp + 1, 0, size_t(rl));
+        buckets[c] = pp + 1 + rl;
+        i = j;
     }
     return 0;
 }
@@ -178,18 +194,48 @@ int kz_srt_inverse(const uint8_t* data, int64_t n, const int64_t* freqs,
     }
     int nb_symbols = ns;
     int c = r2s[0];
-    for (int64_t i = 0; i < n; i++) {
-        out[i] = uint8_t(c);
-        if (buckets[c] < bucket_ends[c]) {
-            const int r = data[buckets[c]];
-            buckets[c]++;
-            if (r == 0) continue;
-            // move-to-front shift
+    int64_t i = 0;
+    while (i < n) {
+        // a run of z zero ranks at the bucket front means z+1 output
+        // bytes of c: scan the zeros 8 at a time, emit with one memset
+        const int64_t bk = buckets[c];
+        const int64_t be = bucket_ends[c];
+        int64_t j = bk;
+        if (j < be && data[j] == 0) {     // zero-run: scan 8 at a time
+            j++;
+            for (;;) {
+                if (j + 8 <= be) {
+                    uint64_t w;
+                    std::memcpy(&w, data + j, 8);
+                    if (!w) { j += 8; continue; }
+                    j += __builtin_ctzll(w) >> 3;
+                    break;
+                }
+                while (j < be && data[j] == 0) j++;
+                break;
+            }
+        }
+        const int64_t z = j - bk;
+        int64_t emit = z + 1;
+        if (emit >= n - i) {             // output full: no more state
+            std::memset(out + i, c, size_t(n - i));
+            return 0;
+        }
+        if (emit == 1) out[i] = uint8_t(c);
+        else std::memset(out + i, c, size_t(emit));
+        i += emit;
+        if (j < be) {                    // nonzero rank: move-to-front
+            const int r = data[j];
+            buckets[c] = j + 1;
             std::memmove(r2s, r2s + 1, r * sizeof(int32_t));
             r2s[r] = c;
             c = r2s[0];
-        } else {
-            if (nb_symbols == 1) continue;
+        } else {                         // bucket exhausted: drop symbol
+            buckets[c] = be;
+            if (nb_symbols == 1) {       // degenerate: only c remains
+                std::memset(out + i, c, size_t(n - i));
+                return 0;
+            }
             nb_symbols--;
             std::memmove(r2s, r2s + 1, nb_symbols * sizeof(int32_t));
             c = r2s[0];
