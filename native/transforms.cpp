@@ -1823,21 +1823,29 @@ void kz_hist_o01(const uint8_t* src, int64_t n, int64_t* h0, int64_t* h1) {
     // 512 KiB (fits L2), and blocks are <= 1 GiB so u32 cannot wrap.
     // h0 derives from h1 row sums + the first-byte seed, saving the
     // second increment chain in the loop.
-    static thread_local uint32_t* t1 = new uint32_t[65536];
-    memset(t1, 0, 65536 * sizeof(uint32_t));
+    // two banks: runs hit the same (prev,c) cell back to back, and a
+    // single table serializes on store-to-load forwarding there
+    static thread_local uint32_t* t1 = new uint32_t[2 * 65536];
+    memset(t1, 0, 2 * 65536 * sizeof(uint32_t));
     int prev = 0;
-    for (int64_t i = 0; i < n; i++) {
-        const int c = src[i];
-        t1[(prev << 8) | c]++;
-        prev = c;
+    int64_t i = 0;
+    for (; i + 2 <= n; i += 2) {
+        const int c0 = src[i];
+        const int c1 = src[i + 1];
+        t1[(prev << 8) | c0]++;
+        t1[65536 + ((c0 << 8) | c1)]++;
+        prev = c1;
+    }
+    for (; i < n; i++) {
+        t1[(prev << 8) | src[i]]++;
+        prev = src[i];
     }
     uint32_t col[256] = {0};
-    for (int p = 0; p < 256; p++) {
-        const uint32_t* row = t1 + (p << 8);
-        int64_t* out = h1 + (p << 8);
+    for (int p = 0; p < 65536; p += 256) {
         for (int c = 0; c < 256; c++) {
-            out[c] = row[c];
-            col[c] += row[c];
+            const uint32_t v = t1[p + c] + t1[65536 + p + c];
+            h1[p + c] = v;
+            col[c] += v;
         }
     }
     // h0[c] = number of occurrences of c = column sums of h1
