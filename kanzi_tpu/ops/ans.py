@@ -558,7 +558,11 @@ def ans0_encode_chunks_padded(chunks: jnp.ndarray):
 # whole 4096-step loop on-core
 # ---------------------------------------------------------------------------
 
-_DEC_G = 64
+import os as _os
+# chunks per grid cell of the decode kernel: larger G amortizes the
+# fixed per-step cost (fori machinery + refill select) over more rows;
+# overridable for probing without an edit (KANZI_TPU_DEC_G)
+_DEC_G = int(_os.environ.get("KANZI_TPU_DEC_G", "64"))
 
 
 def _ans0_decode_kernel(bm_ref, r0_ref, pk_ref, st_ref, pay_ref,

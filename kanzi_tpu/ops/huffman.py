@@ -304,7 +304,11 @@ def _pack_huff_headers(sizes, m, ok, frag_bits):
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_DEC_G = 64
+import os as _os
+# chunks per grid cell of the decode kernel: larger G amortizes the
+# fixed per-step cost (fori machinery + refill select) over more rows;
+# overridable for probing without an edit (KANZI_TPU_DEC_G)
+_DEC_G = int(_os.environ.get("KANZI_TPU_DEC_G", "64"))
 _WIN = 256          # overlapped 32-bit words per fragment window
 # per-fragment payload row: <= 12*FRAG bits = 3072 pairs, + window margin
 _FRAG_WPAD = -(-(12 * FRAG // 16 + _WIN + 256) // 128) * 128
