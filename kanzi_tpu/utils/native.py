@@ -1018,13 +1018,24 @@ def bincoder_dec_chunk(h, payload: np.ndarray, sz: int, current: int,
                                     len(out)))
 
 
+_lzx_tables: dict = {}
+
+
 def lzx_forward(src: np.ndarray, hash_log: int, min_match: int):
     """Native LZX forward; returns output bytes array or None (skip)."""
     lib = _load("lzx")
     count = len(src)
     cap = (count + 16 if count <= 1024 else count + count // 64) + 2 + 16
-    dst = np.zeros(cap, np.uint8)
-    table = np.zeros(1 << hash_log, np.int32)
+    dst = np.empty(cap, np.uint8)      # kernel writes every byte it returns
+    # reuse the hash-table scratch: a fresh np.zeros is a new mmap whose
+    # page faults cost more than the memset
+    import threading
+    key = (hash_log, threading.get_ident())
+    table = _lzx_tables.get(key)
+    if table is None:
+        table = _lzx_tables.setdefault(key, np.zeros(1 << hash_log, np.int32))
+    else:
+        table.fill(0)
     src = np.ascontiguousarray(src, dtype=np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     n = lib.kz_lzx_forward(
