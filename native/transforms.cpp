@@ -605,17 +605,25 @@ int64_t kz_lzx_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
         if (tk_idx >= count) return -2;
         const int token = src[tk_idx++];
         // fast zone: >=40B slack in every cursor region -> unconditional
-        // 8/16B wild copies for short literals + short matches, one
-        // zone test instead of per-access bounds checks
-        if ((token & 0x18) && token < 0xE0 && (token & 7) != 7
+        // 8/16B wild copies for short literals + short matches (explicit
+        // or repeat-distance), one zone test instead of per-access
+        // bounds checks
+        if (token < 0xE0
+            && ((token & 0x18) ? (token & 7) != 7 : (token & 3) != 3)
             && o + 40 <= dst_cap && src_idx + 40 <= lit_end
             && m_idx + 4 <= count) {
-            const int64_t fmlen = (token & 0x07) + min_match;
-            int64_t fdist = src[m_idx++];
-            const int ff1 = (token >> 4) & 1;
-            const int ff2 = (token >> 3) & ff1;
-            if (ff1) fdist = (fdist << 8) | src[m_idx++];
-            if (ff2) fdist = (fdist << 8) | src[m_idx++];
+            int64_t fmlen, fdist;
+            if (token & 0x18) {
+                fmlen = (token & 0x07) + min_match;
+                fdist = src[m_idx++];
+                const int ff1 = (token >> 4) & 1;
+                const int ff2 = (token >> 3) & ff1;
+                if (ff1) fdist = (fdist << 8) | src[m_idx++];
+                if (ff2) fdist = (fdist << 8) | src[m_idx++];
+            } else {                    // repeat distance, mlen_th 3
+                fmlen = (token & 0x03) + min_match;
+                fdist = ((token & 0x04) == 0) ? repd0 : repd1;
+            }
             if (token >= 32) {
                 const int64_t flit = token >> 5;     // <= 6
                 std::memcpy(dst + o, src + src_idx, 8);
