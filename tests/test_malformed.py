@@ -85,3 +85,26 @@ def test_block_checksum_catches_corruption():
 def test_empty_and_tiny_inputs_roundtrip():
     for data in (b"", b"x", b"tiny block", bytes(15)):
         assert decompress_bytes(compress_bytes(data)) == data
+
+
+def test_corrupt_ans0_chunk_with_deferred_sink():
+    """A corrupt ANS0 chunk whose decode is deferred through the
+    cross-block device sink must still fail with a typed error at flush
+    time (multi-block stream so several blocks share one flush)."""
+    rng = np.random.default_rng(9)
+    data = (b"deferred sink corruption probe " * 20000
+            + rng.integers(0, 256, 100000, dtype=np.uint8).tobytes())
+    blob = bytearray(compress_bytes(data, transform="NONE", entropy="ANS0",
+                                    block_size=128 * 1024))
+    ok = decompress_bytes(bytes(blob))
+    assert ok == data
+    # flip bytes in the middle of several block payloads: either the
+    # flush detects a payload-size mismatch or the output differs --
+    # never a crash/hang
+    for off in range(len(blob) // 3, 2 * len(blob) // 3, 997):
+        blob[off] ^= 0xFF
+    try:
+        out = decompress_bytes(bytes(blob))
+        assert out != data
+    except FAILS:
+        pass
