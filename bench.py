@@ -142,9 +142,13 @@ def reference_level(data: bytes, level: int, tmpdir: str):
     with open(src, "wb") as f:
         f.write(data)
     mb = len(data) / 1e6
-    te = _run_ref(["-c", "-f", "-l", str(level), "-j", "1",
-                   "-i", src, "-o", knz])
-    td = _run_ref(["-d", "-f", "-j", "1", "-i", knz, "-o", dec])
+    # min of 2: the first run pays cold page cache + writeback from the
+    # corpus dump, which our in-memory side never sees -- single-shot
+    # numbers flattered US by 2-5x on the fast-decode levels
+    te = min(_run_ref(["-c", "-f", "-l", str(level), "-j", "1",
+                       "-i", src, "-o", knz]) for _ in range(2))
+    td = min(_run_ref(["-d", "-f", "-j", "1", "-i", knz, "-o", dec])
+             for _ in range(2))
     size = os.path.getsize(knz)
     with open(knz, "rb") as f:
         sha = hashlib.sha256(f.read()).hexdigest()
@@ -169,13 +173,15 @@ def ours_level(data: bytes, level: int):
     ops.disable()
     try:
         mb = len(data) / 1e6
-        t0 = time.perf_counter()
-        blob = compress_bytes(data, t, e, block_size=bs)
-        te = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = decompress_bytes(blob)
-        td = time.perf_counter() - t0
-        assert out == data, f"roundtrip mismatch at level {level}"
+        te = td = float("inf")
+        for _ in range(2):               # min of 2, mirroring the ref side
+            t0 = time.perf_counter()
+            blob = compress_bytes(data, t, e, block_size=bs)
+            te = min(te, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = decompress_bytes(blob)
+            td = min(td, time.perf_counter() - t0)
+            assert out == data, f"roundtrip mismatch at level {level}"
         return mb / te, mb / td, len(blob), \
             hashlib.sha256(blob).hexdigest()
     finally:
