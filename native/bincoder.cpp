@@ -207,10 +207,13 @@ inline uint32_t create_context(uint32_t ctx_id, uint32_t cx) {
 }
 
 struct Mixer {
-    int64_t w[8];
+    // int32 throughout: |p| <= 2047 and |err| < 2^25 keep every product
+    // in range, the dot-product wrap IS the wire semantics
+    // (TPAQMixer uses plain int), and the 8-wide w/p arrays vectorize
+    int32_t w[8];
     int32_t p[8];
     int32_t pr = 2048;
-    int64_t skew = 0;
+    int32_t skew = 0;
     int32_t learn_rate = BEGIN_LEARN_RATE;
 
     Mixer() {
@@ -219,21 +222,21 @@ struct Mixer {
     }
 
     inline void update(int bit) {
-        const int64_t err =
-            (int64_t((bit << 12) - pr) * learn_rate) >> 10;
+        const int32_t err = (((bit << 12) - pr) * learn_rate) >> 10;
         if (err == 0) return;
-        if (learn_rate > END_LEARN_RATE) learn_rate--;
+        learn_rate -=
+            int32_t(uint32_t(END_LEARN_RATE - learn_rate) >> 31);
         skew += err;
-        for (int i = 0; i < 8; i++) w[i] += (int64_t(p[i]) * err) >> 12;
+        for (int i = 0; i < 8; i++) w[i] += (p[i] * err) >> 12;
     }
 
     inline int32_t get(const int32_t* ps) {
-        int64_t s = skew + 65536;
+        int32_t s = 0;
         for (int i = 0; i < 8; i++) {
             p[i] = ps[i];
-            s += int64_t(ps[i]) * w[i];
+            s += ps[i] * w[i];
         }
-        s >>= 17;
+        s = (s + skew + 65536) >> 17;
         if (s >= 2048) pr = 4095;
         else if (s <= -2048) pr = 0;
         else pr = KZ_SQUASH[s + 2047];
