@@ -362,7 +362,10 @@ def main() -> int:
 
     have_ref = build_oracle()
     levels = {}
-    with tempfile.TemporaryDirectory() as td:
+    # tmpfs: the reference's 128 MB output hits disk writeback on /tmp
+    # (90-750 MB/s swings), which our in-memory side never pays
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=_shm) as td:
         # Reference and our runs are interleaved per level (not cached
         # across runs): this host's effective clock drifts +/-15% over
         # tens of minutes, so same-minute pairs are the only fair ratio.
@@ -410,7 +413,9 @@ def main() -> int:
     ref_ans0 = cache.get("ans0_ref_MBps")
     ref_ans1 = cache.get("ans1_ref_MBps")
     if have_ref and (ref_ans0 is None or ref_ans1 is None):
-        with tempfile.TemporaryDirectory() as td:
+        with tempfile.TemporaryDirectory(
+                dir="/dev/shm" if os.path.isdir("/dev/shm")
+                else None) as td:
             src = os.path.join(td, "c.bin")
             with open(src, "wb") as f:
                 f.write(data[:64 * 1024 * 1024])
