@@ -55,10 +55,16 @@ def _validate(block: np.ndarray) -> bool:
     count = len(block)
     if count <= 0:
         return False
-    freqs0 = np.bincount(block, minlength=256).astype(np.int64)
-    prev = np.concatenate([[0], block[:-1]]).astype(np.int64)
-    idx = prev * 256 + block
-    freqs1 = np.bincount(idx, minlength=65536).astype(np.int64).reshape(256, 256)
+    from kanzi_tpu.utils import native
+    if native.transforms_available():
+        # same prev=0-seeded o1 histogram, one native pass, no temps
+        freqs0, freqs1 = native.hist_o01(block)
+    else:
+        freqs0 = np.bincount(block, minlength=256).astype(np.int64)
+        prev = np.concatenate([[0], block[:-1]]).astype(np.int64)
+        idx = prev * 256 + block
+        freqs1 = np.bincount(idx, minlength=65536).astype(
+            np.int64).reshape(256, 256)
     s = int(freqs0[0xC0] + freqs0[0xC1] + freqs0[0xF5:0x100].sum())
     if s != 0:
         return False
