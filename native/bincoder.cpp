@@ -475,9 +475,13 @@ int64_t shell_enc_chunk(uint64_t& low, uint64_t& high, P& pred,
             const int bit = (val >> sh) & 1;
             const uint64_t mid =
                 low + ((((high - low) >> 4) * uint64_t(pred.get())) >> 8);
-            if (bit) high = mid;
-            else low = mid + 1;
-            pred.update(bit);
+            if (bit) {
+                high = mid;
+                pred.update(1);     // constant-folded copies, as decode
+            } else {
+                low = mid + 1;
+                pred.update(0);
+            }
             if (((low ^ high) >> 24) == 0) {
                 if (o + 4 > cap) return -1;
                 put_be32(dst + o, uint32_t(high >> 24));
@@ -500,11 +504,19 @@ int64_t shell_dec_chunk(uint64_t& low, uint64_t& high, P& pred,
         for (int k = 0; k < 8; k++) {
             const uint64_t split =
                 ((((high - low) >> 4) * uint64_t(pred.get())) >> 8) + low;
-            int bit;
-            if (split >= current) { bit = 1; high = split; }
-            else { bit = 0; low = split + 1; }
-            pred.update(bit);
-            val = (val << 1) | bit;
+            // update(constant) per branch lets the compiler fold the
+            // bit through the state-transition table select, the mixer
+            // error term and the APM target (the reference decoder has
+            // the same shape)
+            if (split >= current) {
+                high = split;
+                pred.update(1);
+                val = (val << 1) | 1;
+            } else {
+                low = split + 1;
+                pred.update(0);
+                val = val << 1;
+            }
             if (((low ^ high) >> 24) == 0) {
                 low = (low << 32) & MASK56;
                 high = ((high << 32) | MASK32) & MASK56;
