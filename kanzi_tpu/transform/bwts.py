@@ -107,7 +107,11 @@ class BWTS(ByteTransform):
         if count < 2:
             return src.copy()
         # LF mapping
-        hist = np.bincount(src, minlength=256).astype(np.int64)
+        from kanzi_tpu.utils import native as _nat
+        if _nat.transforms_available():
+            hist = _nat.hist_o0(src)
+        else:
+            hist = np.bincount(src, minlength=256).astype(np.int64)
         starts = np.cumsum(hist) - hist
         order = np.argsort(src, kind="stable")
         lf = np.empty(count, dtype=np.int64)

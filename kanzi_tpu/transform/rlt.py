@@ -48,7 +48,11 @@ class RLT(ByteTransform):
 
         escape = DEFAULT_ESCAPE
         if find_best_escape:
-            freqs = np.bincount(src, minlength=256).astype(np.int64)
+            from kanzi_tpu.utils import native as _nat
+            if _nat.transforms_available():
+                freqs = _nat.hist_o0(src)
+            else:
+                freqs = np.bincount(src, minlength=256).astype(np.int64)
             if dt == stats.UNDEFINED:
                 dt = stats.detect_simple_type(count, freqs)
                 if dt != stats.UNDEFINED:

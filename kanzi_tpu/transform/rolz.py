@@ -122,7 +122,11 @@ def _detect_flags(ctx, src, count, allow_mm):
     flags = 0
     dt = ctx.get_int("dataType", stats.UNDEFINED)
     if dt == stats.UNDEFINED:
-        freqs = np.bincount(src, minlength=256).astype(np.int64)
+        from kanzi_tpu.utils import native as _nat
+        if _nat.transforms_available():
+            freqs = _nat.hist_o0(src)
+        else:
+            freqs = np.bincount(src, minlength=256).astype(np.int64)
         dt = stats.detect_simple_type(count, freqs)
         if dt != stats.UNDEFINED:
             ctx.put("dataType", dt)
