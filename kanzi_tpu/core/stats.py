@@ -55,6 +55,12 @@ def compute_histogram(block: np.ndarray, order0: bool = True) -> np.ndarray:
     """Order-0 (256,) or order-1 (65536,) histogram of a uint8 array."""
     block = np.asarray(block, dtype=np.uint8)
     if order0:
+        try:
+            from kanzi_tpu.utils import native
+            if native.transforms_available():
+                return native.hist_o0(block).astype(np.uint32)
+        except Exception:
+            pass
         return np.bincount(block, minlength=256).astype(np.uint32)
     if len(block) < 2:
         return np.zeros(65536, dtype=np.uint32)
