@@ -108,3 +108,30 @@ def test_corrupt_ans0_chunk_with_deferred_sink():
         assert out != data
     except FAILS:
         pass
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 4, 5, 6, 7])
+def test_corruption_fuzz_all_levels(level):
+    """Random single-byte corruptions across the whole stream at every
+    default level: decode must either fail with a typed error or return
+    different bytes -- never crash or hang (reference SECURITY.md)."""
+    from kanzi_tpu.app.cli import LEVEL_BLOCK_SIZE, LEVEL_TABLE
+    rng = np.random.default_rng(100 + level)
+    data = (b"all-level corruption fuzz " * 4000
+            + rng.integers(0, 256, 40000, dtype=np.uint8).tobytes()
+            + bytes(20000))
+    t, e = LEVEL_TABLE[level]
+    blob = compress_bytes(data, transform=t, entropy=e,
+                          block_size=64 * 1024)
+    assert decompress_bytes(blob) == data
+    for trial in range(6):
+        b = bytearray(blob)
+        off = int(rng.integers(0, len(b)))
+        b[off] ^= int(rng.integers(1, 256))
+        try:
+            out = decompress_bytes(bytes(b))
+        except FAILS:
+            continue
+        except RecursionError:          # would be a real bug
+            raise
+        assert out != data or b == blob
