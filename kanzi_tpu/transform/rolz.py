@@ -683,6 +683,20 @@ class _ROLZCodec2:
         if capacity < self.max_encoded_length(count):
             return None
         src_end = count - 4
+
+        from kanzi_tpu.utils import native as _nat
+        if _nat.transforms_available():
+            min_match, delta, flags = _detect_flags(self.ctx, src, count,
+                                                    False)
+            cond = min_match == MIN_MATCH3
+            data_padded = np.concatenate([src, np.zeros(8, np.uint8)])
+            stream = _nat.rolz2_forward(data_padded, count, cond, delta,
+                                        min_match)
+            if stream is None or 5 + len(stream) >= count:
+                return None
+            header = (count & M32).to_bytes(4, "big") + bytes([flags])
+            return np.frombuffer(header + stream.tobytes(), dtype=np.uint8)
+
         data = src.tolist()
         padded = np.concatenate([src, np.zeros(8, np.uint8)]).astype(np.uint64)
         w = np.zeros(count, dtype=np.uint64)
@@ -774,6 +788,25 @@ class _ROLZCodec2:
 
     def inverse(self, src: np.ndarray) -> np.ndarray:
         count = len(src)
+        if count < 13:
+            raise ValueError("ROLZX: truncated stream")
+        hdr = bytes(src[:5].tobytes())
+        dst_end0 = int.from_bytes(hdr[0:4], "big")
+        flags0 = hdr[4]
+        if dst_end0 <= 0:
+            raise ValueError("ROLZX: invalid size")
+        mm0, d0 = MIN_MATCH3, 2
+        if (flags0 & 0x0E) == 8:
+            d0 = 3
+        elif (flags0 & 0x0E) == 4:
+            d0 = 8
+            mm0 = MIN_MATCH7
+        from kanzi_tpu.utils import native as _nat
+        if _nat.transforms_available():
+            # idx0 = 5: the coder reads its own 8 initial state bytes
+            return _nat.rolz2_inverse(src, 5, dst_end0,
+                                      mm0 == MIN_MATCH3, d0, mm0)
+
         data = src.tolist()
         dst_end = int.from_bytes(bytes(data[0:4]), "big")
         if dst_end <= 0:

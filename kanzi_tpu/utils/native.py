@@ -180,6 +180,14 @@ def _load(name: str):
                     ctypes.c_int, ctypes.c_int, i32p,
                     ctypes.POINTER(ctypes.c_uint32),
                     u8p, i64p, u8p, i64p, u8p, i64p, u8p, i64p]
+                lib.kz_rolz2_forward.restype = i64
+                lib.kz_rolz2_forward.argtypes = [
+                    u8p, i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    u8p, i64]
+                lib.kz_rolz2_inverse.restype = i64
+                lib.kz_rolz2_inverse.argtypes = [
+                    u8p, i64, i64, i64, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, u8p]
                 lib.kz_rolz1_rebuild.restype = i64
                 lib.kz_rolz1_rebuild.argtypes = [
                     u8p, i64, u8p, i64, u8p, i64, u8p, i64, u8p, i64, i64,
@@ -851,6 +859,31 @@ def rolz1_parse(data_padded: np.ndarray, count: int, base: int,
         _u8ptr(lit), p64(0), _u8ptr(tk), p64(1),
         _u8ptr(lens), p64(2), _u8ptr(midx), p64(3))
     return (lit[:outl[0]], tk[:outl[1]], lens[:outl[2]], midx[:outl[3]])
+
+
+def rolz2_forward(data_padded: np.ndarray, count: int, cond: bool,
+                  delta: int, min_match: int):
+    """ROLZX coder stream (without the 5-byte header); None = skip."""
+    lib = _load("transforms")
+    dst = np.empty(count + 64, np.uint8)
+    n = lib.kz_rolz2_forward(_u8ptr(data_padded), count, int(cond),
+                             delta, min_match, _u8ptr(dst), count + 64)
+    if n < 0:
+        return None
+    return dst[:n]
+
+
+def rolz2_inverse(data: np.ndarray, idx0: int, dst_end: int, cond: bool,
+                  delta: int, min_match: int) -> np.ndarray:
+    """ROLZX inverse; raises on malformed streams."""
+    lib = _load("transforms")
+    out = np.empty(dst_end, np.uint8)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = lib.kz_rolz2_inverse(_u8ptr(data), len(data), idx0, dst_end,
+                             int(cond), delta, min_match, _u8ptr(out))
+    if n < 0:
+        raise ValueError("ROLZX: malformed stream")
+    return out[:n]
 
 
 def rolz1_rebuild(lit: np.ndarray, tk: np.ndarray, lens: np.ndarray,

@@ -3060,3 +3060,332 @@ int64_t kz_exe_inv_arm(const uint8_t* src, int64_t count, uint8_t* dst) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// ROLZX (codec 2) forward/inverse: match parse + inline 56-bit adaptive
+// binary coder (kanzi_tpu/transform/rolz.py _ROLZCodec2/_ROLZEncoder/
+// _ROLZDecoder; reference src/transform/ROLZCodec.cpp ROLZCodec2).
+// Byte-identical with the Python golden model. src must have count+8
+// readable bytes (zero padded).
+// ---------------------------------------------------------------------
+
+namespace {
+
+constexpr int64_t ROLZ2_MAX_MATCH = 3 + 255;
+
+// key2 over a partially-emitted buffer: mirror the Python slice+ljust
+// (bytes past `len` read as zero)
+inline uint32_t rolz_key2_guard(const uint8_t* p, int64_t pos,
+                                int64_t len) {
+    uint64_t w = 0;
+    const int64_t n = (len - pos < 8) ? (len - pos) : 8;
+    for (int64_t k = 0; k < n; k++) w |= uint64_t(p[pos + k]) << (8 * k);
+    return uint32_t((w * ROLZ_HASH) >> 40) & (ROLZ_HASH_SIZE - 1);
+}
+constexpr uint64_t R2_TOP = 0x00FFFFFFFFFFFFFFull;
+
+struct R2Coder {
+    // probs[0] = MATCH ctx table (256<<5), probs[1] = LITERAL (256<<9)
+    std::vector<int32_t> probs0, probs1;
+    uint64_t low = 0, high = R2_TOP;
+    uint32_t c1 = 1;
+    int64_t ctx = 0;
+    int pidx = 1;
+
+    R2Coder() : probs0(256 << 5), probs1(256 << 9) { reset(); }
+    void reset() {
+        std::fill(probs0.begin(), probs0.end(), 0xFFFF >> 1);
+        std::fill(probs1.begin(), probs1.end(), 0xFFFF >> 1);
+    }
+    inline int32_t* table() { return pidx ? probs1.data() : probs0.data(); }
+    inline void set_ctx(int n, int b) {
+        pidx = n;
+        ctx = int64_t(b) << (n == 1 ? 9 : 5);
+    }
+};
+
+struct R2Enc : R2Coder {
+    uint8_t* out;
+    int64_t o = 0, cap = 0;
+
+    inline bool ebit(int b) {
+        int32_t* p = table();
+        const int64_t i = ctx + c1;
+        const uint64_t split =
+            (((high - low) >> 4) * (uint64_t(uint32_t(p[i])) >> 4)) >> 8;
+        if (b == 0) {
+            low = low + split + 1;           // natural u64 wrap == & M64
+            p[i] -= p[i] >> 5;
+            c1 += c1;
+        } else {
+            high = low + split;
+            p[i] -= (p[i] - 0xFFFF + 32) >> 5;
+            c1 += c1 + 1;
+        }
+        while (((low ^ high) >> 24) == 0) {
+            if (o + 4 > cap) return false;
+            const uint32_t v = uint32_t(high >> 32);
+            out[o] = uint8_t(v >> 24); out[o + 1] = uint8_t(v >> 16);
+            out[o + 2] = uint8_t(v >> 8); out[o + 3] = uint8_t(v);
+            o += 4;
+            low = low << 32;
+            high = (high << 32) | 0xFFFFFFFFull;
+        }
+        return true;
+    }
+    inline bool e9(int val) {
+        c1 = 1;
+        for (int sh = 8; sh >= 0; sh--)
+            if (!ebit((val >> sh) & 1)) return false;
+        return true;
+    }
+    inline bool ebits(int val, int n) {
+        c1 = 1;
+        while (n) {
+            n--;
+            if (!ebit((val >> n) & 1)) return false;
+        }
+        return true;
+    }
+    bool dispose() {
+        if (o + 8 > cap) return false;
+        uint64_t l = low;
+        for (int k = 0; k < 8; k++) {
+            out[o++] = uint8_t(l >> 56);
+            l <<= 8;
+        }
+        return true;
+    }
+};
+
+// returns -1 (no match) or (idx << 16) | (len - min_match); updates the
+// chain exactly like the Python _find_match2 (early break at max_match,
+// counter masked to the 32-slot ring)
+inline int64_t rolz2_find(const uint8_t* src, int64_t base, int64_t pos,
+                          int64_t end_rel, uint32_t key, int min_match,
+                          int32_t* counters, uint32_t* matches) {
+    const int32_t counter = counters[key];
+    const int64_t mbase = int64_t(key) << 5;
+    const uint32_t h32 = rolz_hash32(src + base + pos);
+    int64_t best_len = 0, best_idx = -1;
+    int64_t max_match = (ROLZ2_MAX_MATCH < end_rel - pos)
+                        ? ROLZ2_MAX_MATCH : end_rel - pos;
+    max_match -= 8;
+    for (int32_t i = counter; i > counter - 32; i--) {
+        uint32_t ref = matches[mbase + (i & 31)];
+        if ((ref & ROLZ_HASH_MASK32) != h32) continue;
+        ref &= ~ROLZ_HASH_MASK32;
+        if (src[base + ref + best_len] != src[base + pos + best_len])
+            continue;
+        int64_t n = 0;
+        while (n < max_match) {
+            const uint64_t d = rolz_word(src + base + ref + n)
+                             ^ rolz_word(src + base + pos + n);
+            if (d) { n += __builtin_ctzll(d) >> 3; break; }
+            n += 8;
+        }
+        if (n > best_len) {
+            best_idx = counter - i;
+            best_len = n;
+            if (best_len == max_match) break;
+        }
+    }
+    counters[key] = (counters[key] + 1) & 31;
+    matches[mbase + counters[key]] = h32 | uint32_t(pos);
+    if (best_len < min_match) return -1;
+    return (best_idx << 16) | (best_len - min_match);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Coder stream for the whole block (caller prepends the 5-byte header).
+// Returns stream length, or -1 when the transform must be skipped
+// (output too large / structural mismatch). dst needs count+64 bytes.
+int64_t kz_rolz2_forward(const uint8_t* src, int64_t count, int cond,
+                         int delta, int min_match, uint8_t* dst,
+                         int64_t dst_cap) {
+    constexpr int64_t CHUNK = 16 * 1024 * 1024;
+    const int64_t src_end = count - 4;
+    static thread_local R2Enc* enc = nullptr;
+    if (!enc) enc = new R2Enc();
+    enc->low = 0; enc->high = R2_TOP; enc->c1 = 1;
+    enc->ctx = 0; enc->pidx = 1;
+    enc->out = dst; enc->o = 0; enc->cap = dst_cap;
+    static thread_local std::vector<int32_t> counters(65536);
+    static thread_local std::vector<uint32_t> matches(65536 << 5);
+    std::fill(counters.begin(), counters.end(), 0);
+
+    int64_t size_chunk = (count < CHUNK) ? count : CHUNK;
+    int64_t start_chunk = 0, src_idx = 0, base = 0;
+    while (start_chunk < src_end) {
+        std::fill(matches.begin(), matches.end(), 0u);
+        const int64_t end_chunk =
+            (start_chunk + size_chunk < src_end) ? start_chunk + size_chunk
+                                                 : src_end;
+        size_chunk = end_chunk - start_chunk;
+        enc->reset();
+        base = start_chunk;
+        src_idx = 0;
+        int64_t n = (src_end - start_chunk < 8) ? src_end - start_chunk : 8;
+        enc->set_ctx(1, 0);
+        for (int64_t k = 0; k < n; k++) {
+            if (!enc->e9(0x100 | src[base + src_idx])) return -1;
+            src_idx++;
+        }
+        while (src_idx < size_chunk) {
+            enc->set_ctx(1, src[base + src_idx - 1]);
+            const int64_t rp = base + src_idx - delta;
+            const uint32_t key = cond ? rolz_key1(src + rp)
+                                      : rolz_key2(src + rp);
+            const int64_t match = rolz2_find(src, base, src_idx, size_chunk,
+                                             key, min_match,
+                                             counters.data(),
+                                             matches.data());
+            if (match < 0) {
+                if (!enc->e9(0x100 | src[base + src_idx])) return -1;
+                src_idx++;
+                continue;
+            }
+            const int mlen = int(match & 0xFFFF);
+            if (!enc->e9(mlen)) return -1;          // MATCH_FLAG = 0
+            enc->set_ctx(0, src[base + src_idx - 1]);
+            if (!enc->ebits(int(match >> 16), 5)) return -1;
+            src_idx += mlen + min_match;
+        }
+        start_chunk = end_chunk;
+    }
+    for (int k = 0; k < 4; k++) {
+        enc->set_ctx(1, src[base + src_idx - 1]);
+        if (!enc->e9(0x100 | src[base + src_idx])) return -1;
+        src_idx++;
+    }
+    if (!enc->dispose()) return -1;
+    if (base + src_idx != count) return -1;
+    return enc->o;
+}
+
+// Inverse from the coder stream (data = whole transform output, idx0 =
+// offset past the 5-byte header). Returns 0, -2 on malformed streams.
+int64_t kz_rolz2_inverse(const uint8_t* data, int64_t count, int64_t idx0,
+                         int64_t dst_end, int cond, int delta,
+                         int min_match, uint8_t* out) {
+    constexpr int64_t CHUNK = 16 * 1024 * 1024;
+    static thread_local R2Coder* dc = nullptr;
+    if (!dc) dc = new R2Coder();
+    dc->low = 0; dc->high = R2_TOP; dc->c1 = 1;
+    dc->ctx = 0; dc->pidx = 1;
+    static thread_local std::vector<int32_t> counters(65536);
+    static thread_local std::vector<uint32_t> matches(65536 << 5);
+    std::fill(counters.begin(), counters.end(), 0);
+
+    int64_t idx = idx0;
+    uint64_t current = 0;
+    for (int k = 0; k < 8; k++)
+        current = (current << 8) | (idx + k < count ? data[idx + k] : 0);
+    idx += 8;
+
+    auto dbit = [&]() -> int {
+        int32_t* p = dc->table();
+        const int64_t i = dc->ctx + dc->c1;
+        const uint64_t mid = dc->low
+            + (((dc->high - dc->low) >> 4)
+               * (uint64_t(uint32_t(p[i])) >> 4) >> 8);
+        int bit;
+        if (mid >= current) {
+            bit = 1;
+            dc->high = mid;
+            p[i] -= (p[i] - 0xFFFF + 32) >> 5;
+            dc->c1 += dc->c1 + 1;
+        } else {
+            bit = 0;
+            dc->low = mid + 1;
+            p[i] -= p[i] >> 5;
+            dc->c1 += dc->c1;
+        }
+        while (((dc->low ^ dc->high) >> 24) == 0) {
+            dc->low = (dc->low << 32) & R2_TOP;
+            dc->high = ((dc->high << 32) | 0xFFFFFFFFull) & R2_TOP;
+            uint64_t val = 0;
+            const int64_t avail = count - idx;
+            const int nb = avail >= 4 ? 4 : (avail > 0 ? int(avail) : 0);
+            for (int k = 0; k < nb; k++) val = (val << 8) | data[idx + k];
+            current = ((current << 32) | val) & R2_TOP;
+            idx += 4;
+        }
+        return bit;
+    };
+    auto d9 = [&]() -> int {
+        dc->c1 = 1;
+        for (int k = 0; k < 9; k++) dbit();
+        return int(dc->c1 & 0x1FF);
+    };
+    auto dbits = [&](int n) -> int {
+        dc->c1 = 1;
+        const int mask = (1 << n) - 1;
+        while (n) { dbit(); n--; }
+        return int(dc->c1 & mask);
+    };
+
+    int64_t size_chunk = (dst_end < CHUNK) ? dst_end : CHUNK;
+    int64_t start_chunk = 0, out_len = 0;
+    while (start_chunk < dst_end) {
+        std::fill(matches.begin(), matches.end(), 0u);
+        const int64_t end_chunk =
+            (start_chunk + size_chunk < dst_end) ? start_chunk + size_chunk
+                                                 : dst_end;
+        size_chunk = end_chunk - start_chunk;
+        dc->reset();
+        const int64_t chunk_base = out_len;
+        int64_t dst_idx = 0;
+        dc->set_ctx(1, 0);
+        int64_t n = (dst_end - chunk_base < 8) ? dst_end - chunk_base : 8;
+        for (int64_t k = 0; k < n; k++) {
+            const int val = d9();
+            if ((val >> 8) == 0) return -2;      // unexpected match flag
+            if (out_len >= dst_end) return -2;
+            out[out_len++] = uint8_t(val);
+            dst_idx++;
+        }
+        while (dst_idx < size_chunk) {
+            const int64_t saved_idx = dst_idx;
+            const int64_t rp = chunk_base + dst_idx - delta;
+            if (rp < 0) return -2;
+            const uint32_t key = cond ? rolz_key1(out + rp)
+                                      : rolz_key2_guard(out, rp, out_len);
+            dc->set_ctx(1, out[chunk_base + dst_idx - 1]);
+            const int val = d9();
+            if ((val >> 8) == 1) {               // literal
+                if (out_len >= dst_end) return -2;
+                out[out_len++] = uint8_t(val);
+                dst_idx++;
+            } else {
+                const int mlen = val & 0xFF;
+                if (dst_idx + mlen + 3 > dst_end) return -2;
+                dc->set_ctx(0, out[chunk_base + dst_idx - 1]);
+                const int m_idx = dbits(5);
+                int64_t ref = matches[(int64_t(key) << 5)
+                                      + ((counters[key] - m_idx) & 31)];
+                if (out_len + mlen + min_match > dst_end) return -2;
+                // ref must point at already-emitted chunk bytes (the
+                // byte-by-byte copy then handles overlap like a rep)
+                if (chunk_base + ref >= out_len) return -2;
+                for (int k = 0; k < mlen + min_match; k++) {
+                    out[out_len] = out[chunk_base + ref];
+                    out_len++;
+                    ref++;
+                }
+                dst_idx += mlen + min_match;
+            }
+            counters[key] = (counters[key] + 1) & 0xFF;
+            matches[(int64_t(key) << 5) + (counters[key] & 31)] =
+                uint32_t(saved_idx);
+        }
+        start_chunk = end_chunk;
+    }
+    if (idx != count) return -2;
+    return out_len;
+}
+
+}  // extern "C"
