@@ -66,6 +66,14 @@ class RangeEncoder(EntropyEncoder):
         count = len(block)
         if count == 0:
             return 0
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            res = native.range_enc_block(block, self.chunk_size,
+                                         self.log_range)
+            if res is not None:
+                data, nb = res
+                self.obs._append_bit_run(data, nb)
+                return count
         start = 0
         while start < count:
             end = min(start + self.chunk_size, count)
@@ -150,6 +158,13 @@ class RangeDecoder(EntropyDecoder):
     def decode(self, count: int) -> np.ndarray:
         if count == 0:
             return np.zeros(0, dtype=np.uint8)
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            pos, out = native.range_dec_block(
+                self.ibs._data, self.ibs._nbits, self.ibs._pos, count,
+                self.chunk_size)
+            self.ibs.seek(pos)
+            return out
         out = np.empty(count, dtype=np.uint8)
         start = 0
         while start < count:

@@ -180,6 +180,12 @@ def _load(name: str):
                     ctypes.c_int, ctypes.c_int, i32p,
                     ctypes.POINTER(ctypes.c_uint32),
                     u8p, i64p, u8p, i64p, u8p, i64p, u8p, i64p]
+                lib.kz_range_enc_block.restype = i64
+                lib.kz_range_enc_block.argtypes = [u8p, i64, i64,
+                                                   ctypes.c_int, u8p, i64]
+                lib.kz_range_dec_block.restype = i64
+                lib.kz_range_dec_block.argtypes = [u8p, i64, i64, i64,
+                                                   i64, u8p, i64p]
                 lib.kz_rolz2_forward.restype = i64
                 lib.kz_rolz2_forward.argtypes = [
                     u8p, i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -859,6 +865,34 @@ def rolz1_parse(data_padded: np.ndarray, count: int, base: int,
         _u8ptr(lit), p64(0), _u8ptr(tk), p64(1),
         _u8ptr(lens), p64(2), _u8ptr(midx), p64(3))
     return (lit[:outl[0]], tk[:outl[1]], lens[:outl[2]], midx[:outl[3]])
+
+
+def range_enc_block(src: np.ndarray, chunk_size: int, log_range: int):
+    """Whole-block range encode. Returns (bits array, nbits) or None."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    cap = 2 * len(src) + 65536
+    dst = np.empty(cap, np.uint8)
+    nb = lib.kz_range_enc_block(_u8ptr(src), len(src), chunk_size,
+                                log_range, _u8ptr(dst), cap)
+    if nb < 0:
+        return None
+    return dst[:(nb + 7) // 8], int(nb)
+
+
+def range_dec_block(buf: np.ndarray, nbits: int, pos: int, count: int,
+                    chunk_size: int):
+    """Whole-block range decode. Returns (new bit pos, out array)."""
+    lib = _load("transforms")
+    out = np.empty(count, np.uint8)
+    dec = np.zeros(1, np.int64)
+    p = lib.kz_range_dec_block(_u8ptr(buf), nbits, pos, count, chunk_size,
+                               _u8ptr(out),
+                               dec.ctypes.data_as(
+                                   ctypes.POINTER(ctypes.c_int64)))
+    if p < 0:
+        raise ValueError("Range decoder: malformed stream")
+    return int(p), out[:dec[0]]
 
 
 def rolz2_forward(data_padded: np.ndarray, count: int, cond: bool,

@@ -3367,14 +3367,21 @@ int64_t kz_rolz2_inverse(const uint8_t* data, int64_t count, int64_t idx0,
                 const int m_idx = dbits(5);
                 int64_t ref = matches[(int64_t(key) << 5)
                                       + ((counters[key] - m_idx) & 31)];
-                if (out_len + mlen + min_match > dst_end) return -2;
+                const int total = mlen + min_match;
+                if (out_len + total > dst_end) return -2;
                 // ref must point at already-emitted chunk bytes (the
                 // byte-by-byte copy then handles overlap like a rep)
-                if (chunk_base + ref >= out_len) return -2;
-                for (int k = 0; k < mlen + min_match; k++) {
-                    out[out_len] = out[chunk_base + ref];
-                    out_len++;
-                    ref++;
+                const int64_t from = chunk_base + ref;
+                if (from >= out_len) return -2;
+                if (out_len - from >= 8 && out_len + total + 8 <= dst_end) {
+                    for (int k = 0; k < total; k += 8)
+                        std::memcpy(out + out_len + k, out + from + k, 8);
+                    out_len += total;
+                } else {
+                    for (int k = 0; k < total; k++) {
+                        out[out_len] = out[from + k];
+                        out_len++;
+                    }
                 }
                 dst_idx += mlen + min_match;
             }
@@ -3386,6 +3393,202 @@ int64_t kz_rolz2_inverse(const uint8_t* data, int64_t count, int64_t idx0,
     }
     if (idx != count) return -2;
     return out_len;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Classic 64-bit static range coder, whole block (kanzi_tpu/entropy/
+// range_coder.py; reference src/entropy/Range{Encoder,Decoder}.cpp).
+// 32 KiB chunks, per-chunk normalized freq tables, 28-bit digit
+// flushes. Bit-exact with the Python golden model.
+// ---------------------------------------------------------------------
+
+namespace {
+constexpr uint64_t RC_TOP = 0x0FFFFFFFFFFFFFFFull;
+constexpr uint64_t RC_BOTTOM = 0x000000000000FFFFull;
+constexpr uint64_t RC_MASK = 0x0FFFFFFF00000000ull;
+}
+
+extern "C" {
+
+// Returns total BITS written (caller appends as a bit run), or -1 when
+// out would overflow cap bytes.
+int64_t kz_range_enc_block(const uint8_t* src, int64_t count,
+                           int64_t chunk_size, int log_range,
+                           uint8_t* out, int64_t cap) {
+    HBitW w{out};
+    int64_t freqs[256], cum[257];
+    for (int64_t start = 0; start < count;) {
+        const int64_t end =
+            (start + chunk_size < count) ? start + chunk_size : count;
+        if (w.nbytes + 2 * (end - start) + 4096 > cap) return -1;
+        int lr = log_range;
+        while (lr > 8 && (int64_t(1) << lr) > end - start) lr--;
+        std::memset(freqs, 0, sizeof(freqs));
+        for (int64_t i = start; i < end; i++) freqs[src[i]]++;
+        normalize_freqs(freqs, 256, end - start, int64_t(1) << lr);
+        int alpha[256];
+        int acount = 0;
+        for (int s = 0; s < 256; s++)
+            if (freqs[s]) alpha[acount++] = s;
+        // alphabet (EntropyUtils layout), then lr, then grouped freqs-1
+        if (acount == 0) {
+            w.put(0, 1); w.put(1, 1);
+            start = end;
+            continue;
+        }
+        if (acount == 256) {
+            w.put(0, 1); w.put(0, 1);
+        } else {
+            w.put(1, 1);
+            uint8_t masks[32] = {0};
+            for (int i = 0; i < acount; i++)
+                masks[alpha[i] >> 3] |= uint8_t(1 << (alpha[i] & 7));
+            const int last_mask = alpha[acount - 1] >> 3;
+            w.put(uint64_t(last_mask), 5);
+            for (int i = 0; i <= last_mask; i++) w.put(masks[i], 8);
+        }
+        w.put(uint64_t(lr - 8), 3);
+        if (acount == 1) {
+            start = end;
+            continue;
+        }
+        const int chk = acount >= 64 ? 8 : 6;
+        const int llr = hbitlen(uint32_t(lr));
+        for (int i = 1; i < acount; i += chk) {
+            const int endj = (i + chk < acount) ? i + chk : acount;
+            int64_t mx = 0;
+            for (int j = i; j < endj; j++)
+                if (freqs[alpha[j]] - 1 > mx) mx = freqs[alpha[j]] - 1;
+            const int log_max = (mx == 0) ? 0 : hbitlen(uint32_t(mx));
+            w.put(uint64_t(log_max), llr);
+            if (log_max)
+                for (int j = i; j < endj; j++)
+                    w.put(uint64_t(freqs[alpha[j]] - 1), log_max);
+        }
+        cum[0] = 0;
+        for (int s = 0; s < 256; s++) cum[s + 1] = cum[s] + freqs[s];
+        uint64_t low = 0, rng = RC_TOP;
+        for (int64_t i = start; i < end; i++) {
+            const int b = src[i];
+            const uint64_t cf = uint64_t(cum[b]);
+            const uint64_t f = uint64_t(cum[b + 1] - cum[b]);
+            rng >>= lr;
+            low += cf * rng;
+            rng *= f;
+            for (;;) {
+                if ((low ^ (low + rng)) & RC_MASK) {
+                    if (rng > RC_BOTTOM) break;
+                    rng = (~(low - 1)) & RC_BOTTOM;
+                }
+                if (w.nbytes + 8 > cap) return -1;
+                w.put((low >> 32) & 0x0FFFFFFFull, 28);
+                rng <<= 28;
+                low <<= 28;
+            }
+        }
+        if (w.nbytes + 16 > cap) return -1;
+        w.put((low >> 32) & 0x0FFFFFFFull, 28);   // 60-bit flush, split
+        w.put(low & 0xFFFFFFFFull, 32);
+        start = end;
+    }
+    return w.finish();
+}
+
+// Returns new bit position; *decoded_out = bytes produced. Negative:
+// -2 overrun, -4 invalid data.
+int64_t kz_range_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
+                           int64_t count, int64_t chunk_size,
+                           uint8_t* out, int64_t* decoded_out) {
+    HBitR r{buf, nbits, pos};
+    int64_t freqs[256], cum[257];
+    std::vector<uint8_t> f2s;
+    int64_t start = 0;
+    while (start < count) {
+        const int64_t end =
+            (start + chunk_size < count) ? start + chunk_size : count;
+        // alphabet
+        int alpha[256];
+        int acount = 0;
+        if (r.bit() == 0) {
+            if (r.bit() == 0) {
+                acount = 256;
+                for (int i = 0; i < 256; i++) alpha[i] = i;
+            }
+        } else {
+            const int last_mask = int(r.bits(5));
+            for (int i = 0; i <= last_mask; i++) {
+                const uint8_t m = uint8_t(r.bits(8));
+                for (int j = 0; j < 8; j++)
+                    if (m & (1 << j)) alpha[acount++] = 8 * i + j;
+            }
+        }
+        if (r.err) return -2;
+        if (acount == 0) { count = start; break; }
+        const int lr = 8 + int(r.bits(3));
+        if (r.err) return -2;
+        const int64_t scale = int64_t(1) << lr;
+        if (acount == 1) {
+            std::memset(out + start, alpha[0], size_t(end - start));
+            start = end;
+            continue;
+        }
+        std::memset(freqs, 0, sizeof(freqs));
+        const int chk = acount >= 64 ? 8 : 6;
+        const int llr = hbitlen(uint32_t(lr));
+        int64_t s = 0;
+        for (int i = 1; i < acount; i += chk) {
+            const int log_max = int(r.bits(llr));
+            if (r.err) return -2;
+            if ((int64_t(1) << log_max) > scale) return -4;
+            const int endj = (i + chk < acount) ? i + chk : acount;
+            for (int j = i; j < endj; j++) {
+                const int64_t f =
+                    (log_max == 0) ? 1 : int64_t(r.bits(log_max)) + 1;
+                if (r.err) return -2;
+                if (f <= 0 || f >= scale) return -4;
+                freqs[alpha[j]] = f;
+                s += f;
+            }
+        }
+        if (scale <= s) return -4;
+        freqs[alpha[0]] = scale - s;
+        cum[0] = 0;
+        for (int c = 0; c < 256; c++) cum[c + 1] = cum[c] + freqs[c];
+        if (int64_t(f2s.size()) < scale) f2s.resize(scale);
+        for (int c = 0; c < 256; c++)
+            if (freqs[c])
+                std::memset(f2s.data() + cum[c], c, size_t(freqs[c]));
+        uint64_t low = 0, rng = RC_TOP;
+        uint64_t code = r.bits(60);
+        if (r.err) return -2;
+        for (int64_t i = start; i < end; i++) {
+            rng >>= lr;
+            if (rng == 0) return -4;
+            const uint64_t cumv = (code - low) / rng;
+            if (cumv >= uint64_t(scale)) return -4;
+            const int sym = f2s[cumv];
+            const uint64_t cf = uint64_t(cum[sym]);
+            const uint64_t f = uint64_t(cum[sym + 1] - cum[sym]);
+            low += cf * rng;
+            rng *= f;
+            for (;;) {
+                if ((low ^ (low + rng)) & RC_MASK) {
+                    if (rng > RC_BOTTOM) break;
+                    rng = (~(low - 1)) & RC_BOTTOM;
+                }
+                code = (code << 28) | r.bits(28);
+                if (r.err) return -2;
+                rng <<= 28;
+                low <<= 28;
+            }
+            out[i] = uint8_t(sym);
+        }
+        start = end;
+    }
+    *decoded_out = count;
+    return r.pos;
 }
 
 }  // extern "C"
