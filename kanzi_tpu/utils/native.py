@@ -886,7 +886,7 @@ def range_dec_block(buf: np.ndarray, nbits: int, pos: int, count: int,
     lib = _load("transforms")
     out = np.empty(count, np.uint8)
     dec = np.zeros(1, np.int64)
-    p = lib.kz_range_dec_block(_u8ptr(buf), nbits, pos, count, chunk_size,
+    p = lib.kz_range_dec_block(_bufp(buf), nbits, pos, count, chunk_size,
                                _u8ptr(out),
                                dec.ctypes.data_as(
                                    ctypes.POINTER(ctypes.c_int64)))
