@@ -28,6 +28,9 @@ class BWTS(ByteTransform):
             raise ValueError("BWTS: block too large")
         if count < 2:
             return src.copy()
+        from kanzi_tpu.utils import native as _nat
+        if _nat.sais_available():
+            return _nat.bwts_forward(src)
         data = src.tolist()
         sa = suffix_array(src).tolist()
         isa = [0] * count
@@ -106,6 +109,9 @@ class BWTS(ByteTransform):
             raise ValueError("BWTS: block too large")
         if count < 2:
             return src.copy()
+        from kanzi_tpu.utils import native as _nat2
+        if _nat2.sais_available():
+            return _nat2.bwts_inverse(src)
         # LF mapping
         from kanzi_tpu.utils import native as _nat
         if _nat.transforms_available():

@@ -200,6 +200,10 @@ def _load(name: str):
                     i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, i32p, ctypes.POINTER(ctypes.c_uint32)]
             elif name == "sais":
+                lib.kz_bwts_forward.restype = ctypes.c_int
+                lib.kz_bwts_forward.argtypes = [u8p, ctypes.c_int64, u8p]
+                lib.kz_bwts_inverse.restype = ctypes.c_int
+                lib.kz_bwts_inverse.argtypes = [u8p, ctypes.c_int64, u8p]
                 i64 = ctypes.c_int64
                 i64p = ctypes.POINTER(i64)
                 lib.kz_sa.restype = ctypes.c_int
@@ -1023,6 +1027,22 @@ def bwt_forward(src: np.ndarray, idx_count: int):
     if rc != 0:
         raise MemoryError("kz_bwt_forward failed")
     return out, [int(v) for v in idxs]
+
+
+def bwts_forward(src: np.ndarray) -> np.ndarray:
+    lib = _load("sais")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(len(src), np.uint8)
+    lib.kz_bwts_forward(_u8ptr(src), len(src), _u8ptr(dst))
+    return dst
+
+
+def bwts_inverse(src: np.ndarray) -> np.ndarray:
+    lib = _load("sais")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(len(src), np.uint8)
+    lib.kz_bwts_inverse(_u8ptr(src), len(src), _u8ptr(dst))
+    return dst
 
 
 def bwt_inverse(bwt: np.ndarray, indexes,

@@ -414,3 +414,114 @@ int kz_bwt_inverse(const uint8_t* bwt, int64_t n, const int64_t* indexes,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Bijective BWT (Scott) forward/inverse (kanzi_tpu/transform/bwts.py;
+// reference src/transform/BWTS.cpp). Forward = suffix array + Lyndon
+// word head rotations; inverse = LF-mapping cycle decomposition.
+// Byte-identical with the Python golden model. n >= 2.
+// ---------------------------------------------------------------------
+
+static int64_t bwts_move_head(int32_t* sa, int32_t* isa,
+                              const uint8_t* data, int64_t count,
+                              int64_t start, int64_t size, int64_t rank) {
+    const int64_t end = start + size;
+    while (rank + 1 < count) {
+        const int64_t next_start0 = sa[rank + 1];
+        if (next_start0 <= end) break;
+        int64_t next_start = next_start0;
+        int64_t k = 0;
+        while (k < size && next_start < count
+               && data[start + k] == data[next_start]) {
+            k++;
+            next_start++;
+        }
+        if (k == size && rank < isa[next_start]) break;
+        if (k < size && next_start < count
+            && data[start + k] < data[next_start]) break;
+        sa[rank] = int32_t(next_start0);
+        isa[next_start0] = int32_t(rank);
+        rank++;
+    }
+    sa[rank] = int32_t(start);
+    isa[start] = int32_t(rank);
+    return rank;
+}
+
+int kz_bwts_forward(const uint8_t* src, int64_t n, uint8_t* dst) {
+    if (n < 2) { if (n == 1) dst[0] = src[0]; return 0; }
+    std::vector<int32_t> sa_v(n), isa_v(n);
+    int32_t* sa = sa_v.data();
+    int32_t* isa = isa_v.data();
+    sais<uint8_t>(src, sa, n, 256);
+    for (int64_t i = 0; i < n; i++) isa[sa[i]] = int32_t(i);
+
+    int64_t mn = isa[0];
+    int64_t idx_min = 0;
+    for (int64_t i = 1; i < n && mn > 0; i++) {
+        if (isa[i] >= mn) continue;
+        int64_t ref_rank = bwts_move_head(sa, isa, src, n, idx_min,
+                                          i - idx_min, mn);
+        for (int64_t j = i - 1; j > idx_min; j--) {
+            // iterate through the new Lyndon word from end to start
+            int64_t test_rank = isa[j];
+            const int64_t start_rank = test_rank;
+            while (test_rank < n - 1) {
+                const int64_t nrs = sa[test_rank + 1];
+                if (j > nrs || src[j] != src[nrs]
+                    || ref_rank < isa[nrs + 1]) break;
+                sa[test_rank] = int32_t(nrs);
+                isa[nrs] = int32_t(test_rank);
+                test_rank++;
+            }
+            sa[test_rank] = int32_t(j);
+            isa[j] = int32_t(test_rank);
+            ref_rank = test_rank;
+            if (start_rank == test_rank) break;
+        }
+        mn = isa[i];
+        idx_min = i;
+    }
+
+    int64_t mn2 = n;
+    for (int64_t i = 0; i < n; i++) {
+        if (isa[i] >= mn2) {
+            dst[isa[i]] = src[i - 1];
+            continue;
+        }
+        if (mn2 < n) dst[mn2] = src[i - 1];
+        mn2 = isa[i];
+    }
+    dst[0] = src[n - 1];
+    return 0;
+}
+
+int kz_bwts_inverse(const uint8_t* src, int64_t n, uint8_t* dst) {
+    if (n < 2) { if (n == 1) dst[0] = src[0]; return 0; }
+    std::vector<int32_t> lf_v(n);
+    int32_t* lf = lf_v.data();
+    // stable counting sort gives the LF mapping
+    int64_t counts[256] = {0};
+    for (int64_t i = 0; i < n; i++) counts[src[i]]++;
+    int64_t starts[256];
+    int64_t sum = 0;
+    for (int c = 0; c < 256; c++) { starts[c] = sum; sum += counts[c]; }
+    for (int64_t i = 0; i < n; i++) lf[i] = int32_t(starts[src[i]]++);
+    int64_t j = n - 1;
+    for (int64_t i = 0; i < n && j >= 0; i++) {
+        if (lf[i] < 0) continue;
+        int64_t p = i;
+        for (;;) {
+            dst[j--] = src[p];
+            const int64_t t = lf[p];
+            lf[p] = -1;
+            p = t;
+            if (lf[p] < 0) break;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
