@@ -160,6 +160,16 @@ class RLT(ByteTransform):
         count = len(src)
         if count == 0:
             return src.copy()
+        from kanzi_tpu.utils import native
+        if native.transforms_available():
+            cap = max(self.ctx.get_int("_decodeCapacity", 0),
+                      self.ctx.get_int("blockSize", 0), 4 * count, 1024)
+            while cap <= (1 << 30):       # reference MAX_BLOCK_SIZE cap
+                out = native.rlt_inverse(src, cap)
+                if out is not None:
+                    return out
+                cap *= 2                  # capacity guess too small
+            raise ValueError("RLT: invalid run")
         data = bytes(src.tobytes())
         out = bytearray()
         src_idx = 0

@@ -91,6 +91,8 @@ def _load(name: str):
                 lib.kz_rlt_forward.restype = i64
                 lib.kz_rlt_forward.argtypes = [u8p, i64, ctypes.c_int,
                                                u8p, i64]
+                lib.kz_rlt_inverse.restype = i64
+                lib.kz_rlt_inverse.argtypes = [u8p, i64, u8p, i64]
                 lib.kz_lzp_forward.restype = i64
                 lib.kz_lzp_forward.argtypes = [u8p, i64, u8p]
                 lib.kz_lzp_inverse.restype = i64
@@ -1027,6 +1029,20 @@ def bwt_forward(src: np.ndarray, idx_count: int):
     if rc != 0:
         raise MemoryError("kz_bwt_forward failed")
     return out, [int(v) for v in idxs]
+
+
+def rlt_inverse(src: np.ndarray, dst_cap: int) -> np.ndarray:
+    """RLT inverse; raises on malformed streams, returns None when the
+    caller's capacity guess was too small (retry bigger)."""
+    lib = _load("transforms")
+    src = np.ascontiguousarray(src, np.uint8)
+    dst = np.empty(dst_cap, np.uint8)
+    n = lib.kz_rlt_inverse(_u8ptr(src), len(src), _u8ptr(dst), dst_cap)
+    if n == -2:
+        raise ValueError("RLT: malformed stream")
+    if n == -3:
+        return None
+    return dst[:n]
 
 
 def bwts_forward(src: np.ndarray) -> np.ndarray:

@@ -3592,3 +3592,65 @@ int64_t kz_range_dec_block(const uint8_t* buf, int64_t nbits, int64_t pos,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// RLT inverse (kanzi_tpu/transform/rlt.py inverse; reference
+// src/transform/RLT.cpp inverse). dst must hold dst_cap bytes; returns
+// output length, -2 on malformed streams, -3 when dst_cap is too small.
+int64_t kz_rlt_inverse(const uint8_t* src, int64_t count, uint8_t* dst,
+                       int64_t dst_cap) {
+    constexpr int RUN_LEN_ENCODE1 = 224;
+    constexpr int RUN_LEN_ENCODE2 = (255 - RUN_LEN_ENCODE1) << 8;
+    constexpr int RUN_THRESHOLD = 3;
+    constexpr int64_t MAX_RUN = 0xFFFF + RUN_LEN_ENCODE2 + RUN_THRESHOLD - 1;
+    if (count == 0) return 0;
+    int64_t i = 0, o = 0;
+    const int escape = src[i++];
+    if (i < count && src[i] == escape) {
+        i++;
+        if (i < count && src[i] != 0) return -2;
+        if (o >= dst_cap) return -3;
+        dst[o++] = uint8_t(escape);
+        i++;
+    }
+    while (i < count) {
+        const uint8_t* p =
+            static_cast<const uint8_t*>(memchr(src + i, escape, count - i));
+        const int64_t lit = p ? (p - (src + i)) : (count - i);
+        if (lit > 0) {
+            if (o + lit > dst_cap) return -3;
+            std::memcpy(dst + o, src + i, size_t(lit));
+            o += lit;
+            i += lit;
+        }
+        if (i >= count) break;
+        i++;                              // skip escape
+        if (i >= count) return -2;
+        int64_t run = src[i++];
+        if (run == 0) {
+            if (o >= dst_cap) return -3;
+            dst[o++] = uint8_t(escape);
+            continue;
+        }
+        if (run == 0xFF) {
+            if (i + 1 >= count) return -2;
+            run = (int64_t(src[i]) << 8) | src[i + 1];
+            i += 2;
+            run += RUN_LEN_ENCODE2;
+        } else if (run >= RUN_LEN_ENCODE1) {
+            if (i >= count) return -2;
+            run = ((run - RUN_LEN_ENCODE1) << 8) | src[i];
+            i++;
+            run += RUN_LEN_ENCODE1;
+        }
+        run += RUN_THRESHOLD - 1;
+        if (run > MAX_RUN || o == 0) return -2;
+        if (o + run > dst_cap) return -3;
+        std::memset(dst + o, dst[o - 1], size_t(run));
+        o += run;
+    }
+    return o;
+}
+
+}  // extern "C"
