@@ -55,7 +55,7 @@ class FSDCodec(ByteTransform):
         count10 = count // 10
         count5 = 2 * count10
         dists = [0, 1, 2, 3, 4, 8, 16]
-        s64 = src.astype(np.int64)
+        s64 = None                       # built lazily (fallback only)
         from kanzi_tpu.utils import native
         if native.transforms_available():
             h7 = native.fsd_scan(src)
@@ -86,8 +86,10 @@ class FSDCodec(ByteTransform):
         self.ctx.put("dataType", stats.MULTIMEDIA)
         dist = dists[min_idx]
 
-        seg = s64[2 * count5:3 * count5]
-        ref = s64[2 * count5 - dist:3 * count5 - dist]
+        # int16 covers the +-255 delta range; only the sampled slice is
+        # widened (a whole-block int64 copy dominated the stage cost)
+        seg = src[2 * count5:3 * count5].astype(np.int16)
+        ref = src[2 * count5 - dist:3 * count5 - dist].astype(np.int16)
         deltas = seg - ref
         large_deltas = int(np.count_nonzero((deltas < -127) | (deltas > 127)))
         mode = XOR_CODING if large_deltas > (count5 >> 5) else DELTA_CODING
@@ -104,6 +106,8 @@ class FSDCodec(ByteTransform):
                     return None
                 payload = out.tobytes()
             else:
+                if s64 is None:
+                    s64 = src.astype(np.int64)
                 d_all = 127 + s64[dist:] - s64[:-dist]
                 ok = (d_all >= 0) & (d_all < 255)
                 lens = np.where(ok, 1, 2)

@@ -2191,25 +2191,50 @@ extern "C" {
 // FSD stride-entropy scan (kanzi_tpu/transform/fsd.py forward: XOR
 // histograms for strides {0,1,2,3,4,8,16} over 3 sampled sub-blocks).
 void kz_fsd_scan(const uint8_t* src, int64_t count, int64_t* h7) {
+    // one fused pass per sampled segment, all 7 stride histograms at
+    // once, each 2-banked: constant regions hammer one cell per table
+    // and would serialize on store-to-load forwarding otherwise
     const int64_t count10 = count / 10;
     const int64_t count5 = 2 * count10;
-    const int dists[7] = {0, 1, 2, 3, 4, 8, 16};
-    memset(h7, 0, 7 * 256 * sizeof(int64_t));
-    for (int k = 0; k < 7; k++) {
-        const int d = dists[k];
-        int64_t* h = h7 + k * 256;
-        for (int blk = 0; blk < 3; blk++) {
-            const int64_t base = count5 * (2 * blk);
-            const int64_t s0 = base + count10;
-            const int64_t s1 = base + count5;
-            if (d == 0) {
-                for (int64_t i = s0; i < s1; i++) h[src[i]]++;
-            } else {
-                for (int64_t i = s0; i < s1; i++)
-                    h[src[i] ^ src[i - d]]++;
-            }
+    static thread_local uint32_t* t = new uint32_t[14 * 256];
+    memset(t, 0, 14 * 256 * sizeof(uint32_t));
+    for (int blk = 0; blk < 3; blk++) {
+        const int64_t base = count5 * (2 * blk);
+        const int64_t s0 = base + count10;
+        const int64_t s1 = base + count5;
+        int64_t i = s0;
+        for (; i + 2 <= s1; i += 2) {
+            const uint8_t a = src[i], b = src[i + 1];
+            t[0 * 256 + a]++;
+            t[2 * 256 + (a ^ src[i - 1])]++;
+            t[4 * 256 + (a ^ src[i - 2])]++;
+            t[6 * 256 + (a ^ src[i - 3])]++;
+            t[8 * 256 + (a ^ src[i - 4])]++;
+            t[10 * 256 + (a ^ src[i - 8])]++;
+            t[12 * 256 + (a ^ src[i - 16])]++;
+            t[1 * 256 + b]++;
+            t[3 * 256 + (b ^ src[i])]++;
+            t[5 * 256 + (b ^ src[i - 1])]++;
+            t[7 * 256 + (b ^ src[i - 2])]++;
+            t[9 * 256 + (b ^ src[i - 3])]++;
+            t[11 * 256 + (b ^ src[i - 7])]++;
+            t[13 * 256 + (b ^ src[i - 15])]++;
+        }
+        if (i < s1) {
+            const uint8_t a = src[i];
+            t[0 * 256 + a]++;
+            t[2 * 256 + (a ^ src[i - 1])]++;
+            t[4 * 256 + (a ^ src[i - 2])]++;
+            t[6 * 256 + (a ^ src[i - 3])]++;
+            t[8 * 256 + (a ^ src[i - 4])]++;
+            t[10 * 256 + (a ^ src[i - 8])]++;
+            t[12 * 256 + (a ^ src[i - 16])]++;
         }
     }
+    for (int k = 0; k < 7; k++)
+        for (int c = 0; c < 256; c++)
+            h7[k * 256 + c] = int64_t(t[2 * k * 256 + c])
+                            + int64_t(t[(2 * k + 1) * 256 + c]);
 }
 
 }  // extern "C"
