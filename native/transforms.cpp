@@ -41,9 +41,34 @@ void kz_sbrt_forward(const uint8_t* src, int64_t n, int mode, uint8_t* out) {
     for (int i = 0; i < 256; i++) {
         p[i] = 0; q[i] = 0; s2r[i] = i; r2s[i] = i;
     }
-    for (int64_t i = 0; i < n; i++) {
+    for (int64_t i = 0; i < n;) {
         const int c = src[i];
         int r = s2r[c];
+        if (r == 0 && i + 1 < n && src[i + 1] == c) {
+            // run of the front symbol: every step emits rank 0 and the
+            // bubble loop is a no-op, so only p[c]/q[c] change — and their
+            // final values have a closed form. Post-BWT input is mostly
+            // such runs (any repeat pulls its symbol to rank 0 first).
+            const uint64_t pat = 0x0101010101010101ull * uint64_t(c);
+            int64_t j = i + 2;
+            for (;;) {
+                if (j + 8 <= n) {
+                    uint64_t w;
+                    std::memcpy(&w, src + j, 8);
+                    const uint64_t d = w ^ pat;
+                    if (!d) { j += 8; continue; }
+                    j += __builtin_ctzll(d) >> 3;
+                } else {
+                    while (j < n && src[j] == c) j++;
+                }
+                break;
+            }
+            std::memset(out + i, 0, size_t(j - i));
+            q[c] = (((j - 1) & pr.m1) + ((j - 2) & pr.m2)) >> pr.sh;
+            p[c] = j - 1;
+            i = j;
+            continue;
+        }
         out[i] = uint8_t(r);
         const int64_t qc = ((i & pr.m1) + (p[c] & pr.m2)) >> pr.sh;
         p[c] = i;
@@ -55,6 +80,7 @@ void kz_sbrt_forward(const uint8_t* src, int64_t n, int mode, uint8_t* out) {
         }
         r2s[r] = c;
         s2r[c] = r;
+        i++;
     }
 }
 
@@ -63,8 +89,31 @@ void kz_sbrt_inverse(const uint8_t* src, int64_t n, int mode, uint8_t* out) {
     int64_t p[256], q[256];
     int32_t r2s[256];
     for (int i = 0; i < 256; i++) { p[i] = 0; q[i] = 0; r2s[i] = i; }
-    for (int64_t i = 0; i < n; i++) {
+    for (int64_t i = 0; i < n;) {
         int r = src[i];
+        if (r == 0 && i + 1 < n && src[i + 1] == 0) {
+            // rank-0 run: the emitted symbol is fixed (r2s[0]) and the
+            // bubble loop never fires, so p[c]/q[c] take their closed
+            // form at the run end (mirror of the forward fast path)
+            const int c = r2s[0];
+            int64_t j = i + 2;
+            for (;;) {
+                if (j + 8 <= n) {
+                    uint64_t w;
+                    std::memcpy(&w, src + j, 8);
+                    if (!w) { j += 8; continue; }
+                    j += __builtin_ctzll(w) >> 3;
+                } else {
+                    while (j < n && src[j] == 0) j++;
+                }
+                break;
+            }
+            std::memset(out + i, c, size_t(j - i));
+            q[c] = (((j - 1) & pr.m1) + ((j - 2) & pr.m2)) >> pr.sh;
+            p[c] = j - 1;
+            i = j;
+            continue;
+        }
         const int c = r2s[r];
         out[i] = uint8_t(c);
         const int64_t qc = ((i & pr.m1) + (p[c] & pr.m2)) >> pr.sh;
@@ -75,6 +124,7 @@ void kz_sbrt_inverse(const uint8_t* src, int64_t n, int mode, uint8_t* out) {
             r--;
         }
         r2s[r] = c;
+        i++;
     }
 }
 
