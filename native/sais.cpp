@@ -52,8 +52,32 @@ namespace {
 // - ONE serial typed pass: the LMS list collected during classify
 //   drives stage-1 seeding, naming lengths, and the p1 rebuild.
 
-template <typename T>
-void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
+// BWT emission fused into the final induce scans (kz_bwt_forward):
+// when the stage-3 scans pop a FINAL entry j at rank i they have already
+// loaded s[j-1] — exactly the BWT byte of rank i — so emitting it there
+// deletes the separate out[r]=src[sa[r]-1] pass (n extra random reads)
+// plus the index scan over sa. Writes land at out[i+1] (computeBWT skips
+// the pIdx row); kz_bwt_forward shifts the tail left once at the end.
+struct BwtEmit {
+    uint8_t* out;
+    int64_t* indexes;
+    int64_t step;
+    uint64_t inv_step;   // floor(2^43/step): exact rank/step on multiples
+    int32_t idx_count;
+    int64_t p_idx = 0;
+    uint8_t last_byte = 0;   // rank n-1 byte (out[n] does not exist)
+
+    inline void hit(int64_t i, int64_t n, uint8_t a, int32_t j) {
+        if (i == n - 1) last_byte = a; else out[i + 1] = a;
+        const uint64_t k = (uint64_t(uint32_t(j)) * inv_step) >> 43;
+        if (int64_t(k) < idx_count && int64_t(k) * step == j)
+            indexes[k] = i + 1;
+    }
+};
+
+template <typename T, bool EMIT = false>
+void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
+          BwtEmit* em = nullptr) {
     if (n <= 0) return;
     if (n == 1) { sa[0] = 0; return; }
 
@@ -98,9 +122,14 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
     constexpr int64_t PD = 24;
 
     // ---- L-scan: left to right from bucket starts. mark = stage-1.
-    auto induce_L = [&] {
+    // emit variant (stage 3 of the BWT path only): L slots are final when
+    // scanned, so track the L sub-bucket boundary and emit their BWT byte.
+    auto induce_L = [&](auto emit_c) {
+        constexpr bool emit = decltype(emit_c)::value;
         bucket_starts();
         sa[bkt[s[n - 1]]++] = int32_t(n - 1);   // virtual-sentinel seed
+        int64_t c_cur = 0, hi = start[1], thr = numL[0];
+        (void)c_cur; (void)hi; (void)thr;
         for (int64_t i = 0; i < n; i++) {
             if (i + PD < n) {
                 const int32_t vp = sa[i + PD];
@@ -109,9 +138,20 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
             }
             const int32_t vraw = sa[i];
             const int32_t j = (vraw < 0 ? ~vraw : vraw);
+            if constexpr (emit) {
+                while (i >= hi) {
+                    c_cur++;
+                    hi = start[c_cur + 1];
+                    thr = start[c_cur] + numL[c_cur];
+                }
+                if (vraw == 0) em->p_idx = i;
+            }
             if (j > 0) {
                 const T a = s[j - 1];
                 if (a >= s[j]) sa[bkt[a]++] = j - 1;
+                if constexpr (emit) {
+                    if (i < thr) em->hit(i, n, uint8_t(a), j);
+                }
             }
         }
     };
@@ -119,8 +159,9 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
     // ---- S-scan: right to left from bucket ends. When mark is set,
     // placed LMS positions are stored as ~p (stage-1); popped values are
     // decoded the same way (~(-1) == 0 skips empties naturally).
-    auto induce_S = [&](auto mark_c) {
+    auto induce_S = [&](auto mark_c, auto emit_c) {
         constexpr bool mark = decltype(mark_c)::value;
+        constexpr bool emit = decltype(emit_c)::value;
         bucket_ends();
         int64_t c_cur = K - 1;
         int64_t lo = start[c_cur], thr = start[c_cur] + numL[c_cur];
@@ -137,6 +178,9 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
             }
             const int32_t vraw = sa[i];
             const int32_t j = (vraw < 0 ? ~vraw : vraw);
+            if constexpr (emit) {
+                if (vraw == 0) em->p_idx = i;
+            }
             if (j > 0) {
                 const T a = s[j - 1];
                 const T b = s[j];
@@ -151,6 +195,11 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
                     }
                     sa[--bkt[a]] = v;
                 }
+                if constexpr (emit) {
+                    // S slots are final when scanned (every S suffix is
+                    // re-placed by this scan before the scan reaches it)
+                    if (i >= thr) em->hit(i, n, uint8_t(a), j);
+                }
             }
         }
     };
@@ -164,8 +213,8 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
             sa[--bkt[s[p]]] = p;
         }
     }
-    induce_L();
-    induce_S(std::true_type{});
+    induce_L(std::false_type{});
+    induce_S(std::true_type{}, std::false_type{});
 
     // compact flagged (LMS) positions into sa[0..n1)
     int64_t n1 = 0;
@@ -238,8 +287,8 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K) {
         sa[i] = -1;
         sa[--bkt[s[j]]] = j;
     }
-    induce_L();
-    induce_S(std::false_type{});
+    induce_L(std::integral_constant<bool, EMIT>{});
+    induce_S(std::false_type{}, std::integral_constant<bool, EMIT>{});
 }
 
 }  // namespace
@@ -260,35 +309,64 @@ int kz_sa(const uint8_t* src, int64_t n, int32_t* sa) {
 }
 
 // BWT forward per computeBWT semantics; indexes has idx_count entries.
+// The BWT bytes and chunk indexes are emitted inside the stage-3 induce
+// scans (BwtEmit above); only the pIdx-row tail shift remains here.
 int kz_bwt_forward(const uint8_t* src, int64_t n, int32_t idx_count,
                    uint8_t* out, int64_t* indexes) {
     if (n <= 0) return 0;
-    std::vector<int32_t> sa;
-    try { sa.resize(n); } catch (...) { return -1; }
-    if (kz_sa(src, n, sa.data()) != 0) return -1;
-
     const int64_t st = n / idx_count;
     const int64_t step = (idx_count * st == n) ? st : st + 1;
-    int64_t p_idx = 0;
-    for (int64_t j = 0; j < n; j++) {
-        const int64_t pos = sa[j];
-        if (pos % step == 0 && pos / step < idx_count)
-            indexes[pos / step] = j + 1;
-        if (pos == 0) p_idx = j;
+
+    if (n < 64) {   // tiny blocks: the plain two-pass path
+        std::vector<int32_t> sa;
+        try { sa.resize(n); } catch (...) { return -1; }
+        if (kz_sa(src, n, sa.data()) != 0) return -1;
+        int64_t p_idx = 0;
+        for (int64_t j = 0; j < n; j++) {
+            const int64_t pos = sa[j];
+            if (pos % step == 0 && pos / step < idx_count)
+                indexes[pos / step] = j + 1;
+            if (pos == 0) p_idx = j;
+        }
+        if ((n - 1) % step == 0 && (n - 1) / step < idx_count && n >= 2
+            && src[n - 2] < src[n - 1])
+            indexes[(n - 1) / step] = n;
+        out[0] = src[n - 1];
+        for (int64_t j = 0; j < p_idx; j++) out[j + 1] = src[sa[j] - 1];
+        for (int64_t j = p_idx + 1; j < n; j++) out[j] = src[sa[j] - 1];
+        return 0;
     }
-    if ((n - 1) % step == 0 && (n - 1) / step < idx_count && n >= 2
+
+    std::vector<int32_t> sa;
+    try { sa.resize(n); } catch (...) { return -1; }
+    BwtEmit em;
+    em.out = out;
+    em.indexes = indexes;
+    em.step = step;
+    // round-up reciprocal: k0*step*inv >> 43 == k0 exactly for k0 <= 8
+    // (k0*(step - (2^43 mod step)) < 2^43); non-multiples are filtered by
+    // the exact k*step == j check in hit()
+    em.inv_step = (uint64_t(1) << 43) / uint64_t(step) + 1;
+    em.idx_count = idx_count;
+    try {
+        sais<uint8_t, true>(src, sa.data(), n, 256, &em);
+    } catch (...) {
+        return -1;
+    }
+    const int64_t p_idx = em.p_idx;
+    // scans wrote rank r's byte to out[r+1]; ranks above the pIdx row
+    // belong at out[r], so shift that tail left by one
+    if (p_idx < n - 1) {
+        std::memmove(out + p_idx + 1, out + p_idx + 2,
+                     size_t(n - 2 - p_idx));
+        out[n - 1] = em.last_byte;
+    }
+    out[0] = src[n - 1];
+    indexes[0] = p_idx + 1;   // pos 0 always maps to slot 0 (j>0 guard
+                              // keeps the scans from recording it)
+    if ((n - 1) % step == 0 && (n - 1) / step < idx_count
         && src[n - 2] < src[n - 1])
         indexes[(n - 1) / step] = n;
-
-    out[0] = src[n - 1];
-    for (int64_t j = 0; j < p_idx; j++) {
-        if (j + 32 < p_idx) KZ_PREFETCH(src + sa[j + 32] - 1);
-        out[j + 1] = src[sa[j] - 1];
-    }
-    for (int64_t j = p_idx + 1; j < n; j++) {
-        if (j + 32 < n) KZ_PREFETCH(src + sa[j + 32] - 1);
-        out[j] = src[sa[j] - 1];
-    }
     return 0;
 }
 
