@@ -29,8 +29,11 @@ def _setup_compilation_cache() -> None:
     across CLI invocations."""
     try:
         import jax
-        cache_dir = _os.environ.get("KANZI_TPU_JAX_CACHE",
-                                    "/tmp/kanzi_tpu_jax_cache")
+        # not /tmp: that gets cleaned mid-session on some hosts, and a
+        # cold cache makes the multi-compile CPU-mesh dryrun very slow
+        cache_dir = _os.environ.get(
+            "KANZI_TPU_JAX_CACHE",
+            _os.path.expanduser("~/.cache/kanzi_tpu_jax_cache"))
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
