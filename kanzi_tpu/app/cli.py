@@ -221,6 +221,13 @@ def decompress_file(in_path, out_path, args, verbose=1):
         for block in r.read_blocks_np(**kwargs):
             dst.write(block)
             written += len(block)
+        # Full-range decode with a size-bearing header: the decoded byte
+        # count must match (BlockDecompressor.cpp:816-826, ERR_INVALID_FILE)
+        if (not kwargs and r.output_size
+                and written != r.output_size):
+            raise KanziError(
+                f"Corrupted bitstream: invalid output size (expected "
+                f"{r.output_size}, got {written})", Error.ERR_INVALID_FILE)
     finally:
         if in_path != "-":
             src.close()

@@ -15,13 +15,50 @@
 //
 // Build: g++ -O3 -shared -fPIC bincoder.cpp -o libkanzibincoder.so
 
+#include <sys/mman.h>
+
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <new>
 
 #include "bincoder_tables.h"
 
 namespace {
+
+// Zero-filled allocation via calloc: the OS hands back lazily-zeroed pages,
+// so a 256 MB TPAQX state table costs nothing until a line is touched —
+// `new T[n]()` would memset the whole thing up front (~0.5 s/block on this
+// host for the l9 table set).
+template <class T>
+inline T* zalloc(int64_t n) {
+    return static_cast<T*>(calloc(size_t(n), sizeof(T)));
+}
+
+// Huge-page-backed zero allocation for the predictor's big tables. The
+// TPAQ(X) loop makes 4-6 RANDOM accesses per bit across up to 1.3 GB of
+// tables; with 4 KiB pages every one is also a dTLB miss + page walk.
+// 2 MiB THP pages put the whole table set in the L2 TLB. madvise is
+// best-effort (falls back to 4K pages transparently); pages arrive zeroed.
+struct HugeBuf {
+    void* p = nullptr;
+    size_t len = 0;
+
+    bool alloc(int64_t n) {
+        len = (size_t(n) + (2u << 20) - 1) & ~size_t((2u << 20) - 1);
+        p = mmap(nullptr, len, PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+        if (p == MAP_FAILED) { p = nullptr; return false; }
+        madvise(p, len, MADV_HUGEPAGE);
+        return true;
+    }
+    void release() {
+        if (p) munmap(p, len);
+        p = nullptr;
+    }
+    template <class T>
+    T* as() const { return static_cast<T*>(p); }
+};
 
 constexpr uint64_t MASK56 = 0x00FFFFFFFFFFFFFFULL;
 constexpr uint64_t MASK32 = 0x00000000FFFFFFFFULL;
@@ -252,13 +289,22 @@ struct LogisticAPM {
 
     LogisticAPM(int64_t n, int r) : rate(r) {
         data = new int32_t[n * 33];
-        for (int64_t c = 0; c < n; c++)
-            for (int j = 0; j < 33; j++) {
-                const int d = (j - 16) * 128;
-                const int32_t sq = d >= 2048 ? 4095
-                                 : d <= -2048 ? 0 : KZ_SQUASH[d + 2047];
-                data[c * 33 + j] = sq << 4;
-            }
+        for (int j = 0; j < 33; j++) {
+            const int d = (j - 16) * 128;
+            const int32_t sq = d >= 2048 ? 4095
+                             : d <= -2048 ? 0 : KZ_SQUASH[d + 2047];
+            data[j] = sq << 4;
+        }
+        // replicate row 0 with doubling memcpy (memory-speed init; the
+        // TPAQX sse1 table is 65536 rows = 8.6 MB)
+        int64_t filled = 33;
+        const int64_t total = n * 33;
+        while (filled < total) {
+            const int64_t c = filled < total - filled ? filled
+                                                      : total - filled;
+            memcpy(data + filled, data, size_t(c) * sizeof(int32_t));
+            filled += c;
+        }
     }
     ~LogisticAPM() { delete[] data; }
 
@@ -279,12 +325,12 @@ struct TPAQ {
     bool extra;
     uint32_t states_mask, mixers_mask, hash_mask;
     int64_t buffer_mask;
-    Mixer* mixers;
-    uint8_t* big;
-    uint8_t* small0;  // 1<<16
-    uint8_t* small1;  // 1<<24
-    int32_t* hashes;  // positions fit int32 (blocks <= 1 GiB)
-    uint8_t* buffer;
+    Mixer* mixers = nullptr;
+    uint8_t* big = nullptr;
+    uint8_t* small0 = nullptr;  // 1<<16
+    uint8_t* small1 = nullptr;  // 1<<24
+    int32_t* hashes = nullptr;  // positions fit int32 (blocks <= 1 GiB)
+    uint8_t* buffer = nullptr;
     uint8_t* cp[7];
     int32_t pr = 2048;
     uint32_t c0 = 1, c4 = 0, c8 = 0;
@@ -308,20 +354,31 @@ struct TPAQ {
           buffer_mask(buffer_size - 1),
           sse0(256, extra_ ? 6 : 7),
           sse1(extra_ ? 65536 : 256, 7) {
-        mixers = new Mixer[mixers_size];
-        big = new uint8_t[states_size]();
-        small0 = new uint8_t[1 << 16]();
-        small1 = new uint8_t[1 << 24]();
-        hashes = new int32_t[hash_size]();
-        buffer = new uint8_t[buffer_size]();
+        mbuf.alloc(int64_t(mixers_size) * sizeof(Mixer));
+        bbuf.alloc(states_size);
+        s1buf.alloc(1 << 24);
+        hbuf.alloc(hash_size * int64_t(sizeof(int32_t)));
+        fbuf.alloc(buffer_size);
+        small0 = zalloc<uint8_t>(1 << 16);
+        if (!ok()) return;
+        mixers = mbuf.as<Mixer>();
+        for (int64_t i = 0; i < mixers_size; i++) new (mixers + i) Mixer();
+        big = bbuf.as<uint8_t>();
+        small1 = s1buf.as<uint8_t>();
+        hashes = hbuf.as<int32_t>();
+        buffer = fbuf.as<uint8_t>();
         for (int k = 0; k < 2; k++) cp[k] = (k == 0 ? small0 : small1);
         for (int k = 2; k < 7; k++) cp[k] = big;
         mixer = &mixers[0];
     }
     ~TPAQ() {
-        delete[] mixers; delete[] big; delete[] small0; delete[] small1;
-        delete[] hashes; delete[] buffer;
+        mbuf.release(); bbuf.release(); s1buf.release(); hbuf.release();
+        fbuf.release(); free(small0);
     }
+    bool ok() const {
+        return mbuf.p && bbuf.p && s1buf.p && hbuf.p && fbuf.p && small0;
+    }
+    HugeBuf mbuf, bbuf, s1buf, hbuf, fbuf;
 
     inline int get() const { return pr; }
 
@@ -464,7 +521,11 @@ struct TPAQ {
 
 // ---------------- shared 56-bit shell (>>4 split) -------------------------
 
-template <class P>
+// FOLD: duplicate pred.update(0)/update(1) so the compiler folds the bit
+// through the per-branch state math — a win for the small CM/FPAQ
+// predictors, a loss for TPAQ whose update() is hundreds of instructions
+// (two inlined copies blow the uop/I-cache for a loop this hot).
+template <bool FOLD, class P>
 int64_t shell_enc_chunk(uint64_t& low, uint64_t& high, P& pred,
                         const uint8_t* src, int64_t n, uint8_t* dst,
                         int64_t cap) {
@@ -475,12 +536,17 @@ int64_t shell_enc_chunk(uint64_t& low, uint64_t& high, P& pred,
             const int bit = (val >> sh) & 1;
             const uint64_t mid =
                 low + ((((high - low) >> 4) * uint64_t(pred.get())) >> 8);
-            if (bit) {
-                high = mid;
-                pred.update(1);     // constant-folded copies, as decode
+            if (FOLD) {
+                if (bit) {
+                    high = mid;
+                    pred.update(1);
+                } else {
+                    low = mid + 1;
+                    pred.update(0);
+                }
             } else {
-                low = mid + 1;
-                pred.update(0);
+                if (bit) high = mid; else low = mid + 1;
+                pred.update(bit);
             }
             if (((low ^ high) >> 24) == 0) {
                 if (o + 4 > cap) return -1;
@@ -494,7 +560,7 @@ int64_t shell_enc_chunk(uint64_t& low, uint64_t& high, P& pred,
     return o;
 }
 
-template <class P>
+template <bool FOLD, class P>
 int64_t shell_dec_chunk(uint64_t& low, uint64_t& high, P& pred,
                         const uint8_t* buf, int64_t sz, uint64_t current,
                         uint8_t* out, int64_t n) {
@@ -504,18 +570,19 @@ int64_t shell_dec_chunk(uint64_t& low, uint64_t& high, P& pred,
         for (int k = 0; k < 8; k++) {
             const uint64_t split =
                 ((((high - low) >> 4) * uint64_t(pred.get())) >> 8) + low;
-            // update(constant) per branch lets the compiler fold the
-            // bit through the state-transition table select, the mixer
-            // error term and the APM target (the reference decoder has
-            // the same shape)
+            int bit;
             if (split >= current) {
                 high = split;
-                pred.update(1);
-                val = (val << 1) | 1;
+                bit = 1;
             } else {
                 low = split + 1;
-                pred.update(0);
-                val = val << 1;
+                bit = 0;
+            }
+            val = (val << 1) | bit;
+            if (FOLD) {
+                if (bit) pred.update(1); else pred.update(0);
+            } else {
+                pred.update(bit);
             }
             if (((low ^ high) >> 24) == 0) {
                 low = (low << 32) & MASK56;
@@ -561,6 +628,7 @@ void* kz_bin_new(int kind, int bs_version, int64_t states_size,
             h->tpaq = new (std::nothrow) TPAQ(kind == 3, states_size,
                                               mixers_size, hash_size,
                                               buffer_size);
+            if (h->tpaq && !h->tpaq->ok()) { delete h; return nullptr; }
             break;
         default: delete h; return nullptr;
     }
@@ -577,10 +645,10 @@ int64_t kz_bin_enc_chunk(void* hp, const uint8_t* src, int64_t n,
     Handle* h = static_cast<Handle*>(hp);
     switch (h->kind) {
         case 0: return h->fpaq->enc_chunk(h->low, h->high, src, n, dst, cap);
-        case 1: return shell_enc_chunk(h->low, h->high, *h->cm, src, n,
-                                       dst, cap);
-        default: return shell_enc_chunk(h->low, h->high, *h->tpaq, src, n,
-                                        dst, cap);
+        case 1: return shell_enc_chunk<true>(h->low, h->high, *h->cm, src,
+                                             n, dst, cap);
+        default: return shell_enc_chunk<false>(h->low, h->high, *h->tpaq,
+                                               src, n, dst, cap);
     }
 }
 
@@ -590,10 +658,10 @@ int64_t kz_bin_dec_chunk(void* hp, const uint8_t* payload, int64_t sz,
     switch (h->kind) {
         case 0: return h->fpaq->dec_chunk(h->low, h->high, payload, sz,
                                           current, out, n);
-        case 1: return shell_dec_chunk(h->low, h->high, *h->cm, payload, sz,
-                                       current, out, n);
-        default: return shell_dec_chunk(h->low, h->high, *h->tpaq, payload,
-                                        sz, current, out, n);
+        case 1: return shell_dec_chunk<true>(h->low, h->high, *h->cm, payload,
+                                             sz, current, out, n);
+        default: return shell_dec_chunk<false>(h->low, h->high, *h->tpaq,
+                                               payload, sz, current, out, n);
     }
 }
 
