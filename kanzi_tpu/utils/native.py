@@ -39,8 +39,13 @@ def _load(name: str):
         so = os.path.join(_NATIVE_DIR, f"libkanzi{name}.so")
         lib = None
         try:
+            dep_mtime = os.path.getmtime(src)
+            for fn in os.listdir(_NATIVE_DIR):
+                if fn.endswith(".h"):
+                    dep_mtime = max(dep_mtime, os.path.getmtime(
+                        os.path.join(_NATIVE_DIR, fn)))
             if (not os.path.exists(so)
-                    or os.path.getmtime(so) < os.path.getmtime(src)):
+                    or os.path.getmtime(so) < dep_mtime):
                 flags = ["-O3", "-fomit-frame-pointer", "-DNDEBUG",
                          "-fno-rtti", "-shared", "-fPIC", "-pthread"]
                 try:

@@ -15,14 +15,13 @@
 //
 // Build: g++ -O3 -shared -fPIC bincoder.cpp -o libkanzibincoder.so
 
-#include <sys/mman.h>
-
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <new>
 
 #include "bincoder_tables.h"
+#include "hugebuf.h"
 
 namespace {
 
@@ -35,30 +34,9 @@ inline T* zalloc(int64_t n) {
     return static_cast<T*>(calloc(size_t(n), sizeof(T)));
 }
 
-// Huge-page-backed zero allocation for the predictor's big tables. The
-// TPAQ(X) loop makes 4-6 RANDOM accesses per bit across up to 1.3 GB of
-// tables; with 4 KiB pages every one is also a dTLB miss + page walk.
-// 2 MiB THP pages put the whole table set in the L2 TLB. madvise is
-// best-effort (falls back to 4K pages transparently); pages arrive zeroed.
-struct HugeBuf {
-    void* p = nullptr;
-    size_t len = 0;
-
-    bool alloc(int64_t n) {
-        len = (size_t(n) + (2u << 20) - 1) & ~size_t((2u << 20) - 1);
-        p = mmap(nullptr, len, PROT_READ | PROT_WRITE,
-                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
-        if (p == MAP_FAILED) { p = nullptr; return false; }
-        madvise(p, len, MADV_HUGEPAGE);
-        return true;
-    }
-    void release() {
-        if (p) munmap(p, len);
-        p = nullptr;
-    }
-    template <class T>
-    T* as() const { return static_cast<T*>(p); }
-};
+// Huge-page-backed zero allocation for the predictor's big tables
+// (4-6 RANDOM accesses per bit across up to 1.3 GB): see hugebuf.h.
+using kz::HugeBuf;
 
 constexpr uint64_t MASK56 = 0x00FFFFFFFFFFFFFFULL;
 constexpr uint64_t MASK32 = 0x00000000FFFFFFFFULL;

@@ -22,6 +22,8 @@
 #include <thread>
 #include <vector>
 
+#include "hugebuf.h"
+
 namespace {
 
 #if defined(__GNUC__)
@@ -87,8 +89,9 @@ void sais(const T* s, int32_t* sa, int64_t n, int64_t K,
     // LMS position list (descending). Every later consumer (stage-1
     // seeds, naming lengths, p1 rebuild) walks the list instead of
     // re-deriving types -- three serial typed passes saved.
-    std::unique_ptr<int32_t[]> lms_buf(new int32_t[n / 2 + 2]);
-    int32_t* const lms = lms_buf.get();
+    kz::HugeArr<int32_t> lms_buf;
+    if (!lms_buf.alloc(n / 2 + 2)) throw std::bad_alloc();
+    int32_t* const lms = lms_buf.data;
     int64_t n1_total = 0;
     {
         bool ty = false;             // type(n-1) = L (false)
@@ -337,8 +340,8 @@ int kz_bwt_forward(const uint8_t* src, int64_t n, int32_t idx_count,
         return 0;
     }
 
-    std::vector<int32_t> sa;
-    try { sa.resize(n); } catch (...) { return -1; }
+    kz::HugeArr<int32_t> sa;
+    if (!sa.alloc(n)) return -1;
     BwtEmit em;
     em.out = out;
     em.indexes = indexes;
@@ -349,7 +352,7 @@ int kz_bwt_forward(const uint8_t* src, int64_t n, int32_t idx_count,
     em.inv_step = (uint64_t(1) << 43) / uint64_t(step) + 1;
     em.idx_count = idx_count;
     try {
-        sais<uint8_t, true>(src, sa.data(), n, 256, &em);
+        sais<uint8_t, true>(src, sa.data, n, 256, &em);
     } catch (...) {
         return -1;
     }
@@ -383,11 +386,9 @@ int kz_bwt_inverse(const uint8_t* bwt, int64_t n, const int64_t* indexes,
     const int64_t p_idx = indexes[0];
     if (p_idx <= 0 || p_idx > n) return -2;
     const bool wide = n >= (int64_t(1) << 24);  // links need > 24 bits
-    std::vector<uint32_t> t32;
-    std::vector<uint64_t> t64;
-    try {
-        if (wide) t64.resize(n); else t32.resize(n);
-    } catch (...) { return -1; }
+    kz::HugeArr<uint32_t> t32;
+    kz::HugeArr<uint64_t> t64;
+    if (wide ? !t64.alloc(n) : !t32.alloc(n)) return -1;
     {
         // counting sort of positions by value, packing (link<<8 | val)
         int64_t counts[256] = {0};
@@ -440,7 +441,7 @@ int kz_bwt_inverse(const uint8_t* bwt, int64_t n, const int64_t* indexes,
     if (lanes_b == 8 && partial == 0 && !wide) {
         // hot path (4-16 MiB blocks): 8 chains in explicit locals so all
         // 8 loads issue independently every iteration
-        uint32_t* T = t32.data();
+        uint32_t* T = t32.data;
         int64_t p0 = ptr[0], p1 = ptr[1], p2 = ptr[2], p3 = ptr[3];
         int64_t p4 = ptr[4], p5 = ptr[5], p6 = ptr[6], p7 = ptr[7];
         uint8_t* d0 = dst, *d1 = dst + step, *d2 = dst + 2 * step;
@@ -530,9 +531,10 @@ static int64_t bwts_move_head(int32_t* sa, int32_t* isa,
 
 int kz_bwts_forward(const uint8_t* src, int64_t n, uint8_t* dst) {
     if (n < 2) { if (n == 1) dst[0] = src[0]; return 0; }
-    std::vector<int32_t> sa_v(n), isa_v(n);
-    int32_t* sa = sa_v.data();
-    int32_t* isa = isa_v.data();
+    kz::HugeArr<int32_t> sa_v, isa_v;
+    if (!sa_v.alloc(n) || !isa_v.alloc(n)) return -1;
+    int32_t* sa = sa_v.data;
+    int32_t* isa = isa_v.data;
     sais<uint8_t>(src, sa, n, 256);
     for (int64_t i = 0; i < n; i++) isa[sa[i]] = int32_t(i);
 
@@ -578,8 +580,9 @@ int kz_bwts_forward(const uint8_t* src, int64_t n, uint8_t* dst) {
 
 int kz_bwts_inverse(const uint8_t* src, int64_t n, uint8_t* dst) {
     if (n < 2) { if (n == 1) dst[0] = src[0]; return 0; }
-    std::vector<int32_t> lf_v(n);
-    int32_t* lf = lf_v.data();
+    kz::HugeArr<int32_t> lf_v;
+    if (!lf_v.alloc(n)) return -1;
+    int32_t* lf = lf_v.data;
     // stable counting sort gives the LF mapping
     int64_t counts[256] = {0};
     for (int64_t i = 0; i < n; i++) counts[src[i]]++;
