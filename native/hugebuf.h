@@ -13,8 +13,61 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
 
 namespace kz {
+
+// Process-global free pool of huge-page mappings. First-touch of a fresh
+// THP mapping costs ~3 ms per 2 MiB page (zeroing + compaction stalls),
+// ~0.3 s for a TPAQ table set — and any other process allocating in
+// between (the multi-file worker pool, a spawned tool) steals the freed
+// pages, so per-block re-mmap pays it again. Keeping released mappings
+// in-process turns the next same-size alloc into one memset (~20 ms for
+// 134 MB). Capacity-bounded; KANZI_TPU_HUGEPOOL_MB=0 disables.
+namespace hugepool {
+
+struct Entry { void* p; size_t len; };
+
+inline std::mutex& mu() { static std::mutex m; return m; }
+inline std::vector<Entry>& entries() {
+    static std::vector<Entry> v;
+    return v;
+}
+inline size_t& held() { static size_t b = 0; return b; }
+inline size_t cap() {
+    static size_t c = [] {
+        const char* e = getenv("KANZI_TPU_HUGEPOOL_MB");
+        return e ? size_t(atoll(e)) << 20 : size_t(4) << 30;
+    }();
+    return c;
+}
+
+inline void* take(size_t len) {
+    std::lock_guard<std::mutex> g(mu());
+    auto& v = entries();
+    for (size_t i = 0; i < v.size(); i++) {
+        if (v[i].len == len) {
+            void* p = v[i].p;
+            held() -= len;
+            v[i] = v.back();
+            v.pop_back();
+            return p;
+        }
+    }
+    return nullptr;
+}
+
+inline bool give(void* p, size_t len) {
+    std::lock_guard<std::mutex> g(mu());
+    if (held() + len > cap()) return false;
+    entries().push_back({p, len});
+    held() += len;
+    return true;
+}
+
+}  // namespace hugepool
 
 struct HugeBuf {
     void* p = nullptr;
@@ -30,6 +83,11 @@ struct HugeBuf {
         if (n <= 0) return true;
         len = (size_t(n) + (size_t(2) << 20) - 1)
               & ~((size_t(2) << 20) - 1);
+        p = hugepool::take(len);
+        if (p) {
+            memset(p, 0, len);  // callers rely on calloc semantics
+            return true;
+        }
         p = mmap(nullptr, len, PROT_READ | PROT_WRITE,
                  MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
         if (p == MAP_FAILED) { p = nullptr; len = 0; return false; }
@@ -37,7 +95,7 @@ struct HugeBuf {
         return true;
     }
     void release() {
-        if (p) munmap(p, len);
+        if (p && !hugepool::give(p, len)) munmap(p, len);
         p = nullptr;
         len = 0;
     }
