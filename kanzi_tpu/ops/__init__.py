@@ -51,3 +51,17 @@ def disable():
 def enable():
     global ENABLED
     ENABLED = True
+
+
+# Device-call counters: every device kernel dispatch bumps its key.
+# Tests assert these are > 0 so a silent fallback (thread gate, size
+# gate, backend probe) can't fake device coverage.
+COUNTERS = {}
+
+
+def count(key: str, n: int = 1) -> None:
+    COUNTERS[key] = COUNTERS.get(key, 0) + n
+
+
+def reset_counters() -> None:
+    COUNTERS.clear()

@@ -588,6 +588,11 @@ def _ans0_decode_kernel(bm_ref, r0_ref, pk_ref, st_ref, pay_ref,
     nseg = pay_ref.shape[1] // 128
     lanes = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
     lane_live = lanes < 4
+    # byte-position coefficient for the output word: lane l -> 1<<(8*(3-l))
+    word_coef = jnp.where(lanes == 0, 1 << 24,
+                          jnp.where(lanes == 1, 1 << 16,
+                                    jnp.where(lanes == 2, 1 << 8,
+                                              jnp.where(lanes == 3, 1, 0))))
 
     def one_step(t, st, cur, outtile):
         v = (st & MASK).astype(jnp.int32)
@@ -622,8 +627,13 @@ def _ans0_decode_kernel(bm_ref, r0_ref, pk_ref, st_ref, pay_ref,
         pairs = jnp.where(lo_half, w0, w1)
         st3 = jnp.where(flag, (st2 << 16) | pairs.astype(jnp.uint32), st2)
         cur = cur + fl[0] + fl[1] + fl[2] + fl[3]
-        word = (sym[:, 3:4] | (sym[:, 2:3] << 8) | (sym[:, 1:2] << 16)
-                | (sym[:, 0:1] << 24))
+        # pack lane symbols into one i32 word via full-width multiply +
+        # lane reduction. The obvious [g,1]-slice shift/OR chain
+        # (sym[:,3:4] | sym[:,2:3]<<8 | sym[:,1:2]<<16 | sym[:,0:1]<<24)
+        # is MISCOMPILED by Mosaic for multi-vreg sublane counts (g>8):
+        # the <<16 term is dropped whenever sym < 128 (bit 23 clear) --
+        # see tests/test_ops_ans.py::test_device_decode_large_batch.
+        word = jnp.sum(sym * word_coef, axis=1, keepdims=True)
         # arithmetic accumulate (each lane written once per 128-step
         # window, tile zeroed in between): avoids a select_n broadcast
         # that Mosaic miscompiles at larger G
@@ -756,6 +766,8 @@ def ans0_decode_flat(freqs: np.ndarray, states: np.ndarray,
     """freqs [C,256] i32; states [C,4] u32; flat_pay [total] u8 (all
     chunks' payloads back to back); off_bytes [C] i32 (even byte offsets).
     Returns (chunks [C,CHUNK] u8, consumed bytes [C])."""
+    import kanzi_tpu.ops as _ops
+    _ops.count("ans0_decode_device", freqs.shape[0])
     c = freqs.shape[0]
     b = _bucket(c)
     if b != c:
@@ -873,6 +885,8 @@ def encode_chunks_np(chunks: np.ndarray):
     plen [C]): chunk c's payload = flat[off[c]:off[c]+plen[c]] with
     off = exclusive cumsum of plen. Only ~total+header bytes cross the
     device->host link."""
+    import kanzi_tpu.ops as _ops
+    _ops.count("ans0_encode_device", chunks.shape[0])
     c = chunks.shape[0]
     b = _bucket(c)
     if b != c:

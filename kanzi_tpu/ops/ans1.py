@@ -348,6 +348,8 @@ def ans1_encode_batch(chunks, freqs_np: np.ndarray):
     plen_bytes [C] i32). Chunk payloads are contiguous in the flat
     stream: chunk c's plen_bytes[c] bytes start at u16 slot
     cumsum_exclusive(plen16)."""
+    import kanzi_tpu.ops as _ops
+    _ops.count("ans1_encode_device", len(chunks))
     chunks = jnp.asarray(chunks)
     c, n = chunks.shape
     m = jnp.asarray(planes_from_freqs_np(freqs_np))

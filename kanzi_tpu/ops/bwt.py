@@ -114,6 +114,8 @@ def bwt_forward(block: np.ndarray, idx_count: int):
     """BWT bytes + primary indexes, matching
     kanzi_tpu.transform.divsufsort.compute_bwt semantics
     (DivSufSort.cpp:171-290). Returns (out [n] u8, indexes [idx_count])."""
+    import kanzi_tpu.ops as _ops
+    _ops.count("bwt_forward_device")
     n = len(block)
     npad = _sa_bucket(n)
     s = np.zeros(npad, np.uint8)

@@ -522,6 +522,8 @@ def huffman_decode_chunks(codes: np.ndarray, sizes: np.ndarray,
     """codes [C,256] u32 (canonical code values), sizes [C,256] i32,
     frag_pay [C, 4, 2*_FRAG_WPAD] u8 (byte-aligned fragment payloads,
     zero padded). Returns [C, CHUNK] u8 decoded chunks."""
+    import kanzi_tpu.ops as _ops
+    _ops.count("huffman_decode_device", codes.shape[0])
     c = codes.shape[0]
     b = _bucket(c)
     if b != c:
@@ -558,6 +560,8 @@ def encode_chunks_np(chunks: np.ndarray):
     """Host wrapper. Returns numpy (hdr [C,512], hdr_bits [C], ok [C],
     m [C], flat (payload bytes view), npairs [C,4], resid_acc [C,4],
     resid_bits [C,4], frag_bits [C,4])."""
+    import kanzi_tpu.ops as _ops
+    _ops.count("huffman_encode_device", chunks.shape[0])
     c = chunks.shape[0]
     b = _bucket(c)
     if b != c:
