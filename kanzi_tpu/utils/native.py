@@ -37,15 +37,25 @@ def _load(name: str):
             return _libs[name]
         src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
         so = os.path.join(_NATIVE_DIR, f"libkanzi{name}.so")
+        sig = so + ".sig"
         lib = None
         try:
-            dep_mtime = os.path.getmtime(src)
-            for fn in os.listdir(_NATIVE_DIR):
+            # content-hash rebuild check: mtimes are unreliable on fresh
+            # checkouts (git gives sources and artifacts the same stamp)
+            import hashlib
+            h = hashlib.sha256()
+            with open(src, "rb") as f:
+                h.update(f.read())
+            for fn in sorted(os.listdir(_NATIVE_DIR)):
                 if fn.endswith(".h"):
-                    dep_mtime = max(dep_mtime, os.path.getmtime(
-                        os.path.join(_NATIVE_DIR, fn)))
-            if (not os.path.exists(so)
-                    or os.path.getmtime(so) < dep_mtime):
+                    with open(os.path.join(_NATIVE_DIR, fn), "rb") as f:
+                        h.update(f.read())
+            want_sig = h.hexdigest()
+            have_sig = None
+            if os.path.exists(sig):
+                with open(sig) as f:
+                    have_sig = f.read().strip()
+            if not os.path.exists(so) or have_sig != want_sig:
                 flags = ["-O3", "-fomit-frame-pointer", "-DNDEBUG",
                          "-fno-rtti", "-shared", "-fPIC", "-pthread"]
                 try:
@@ -57,6 +67,8 @@ def _load(name: str):
                     subprocess.run(
                         ["g++", *flags, src, "-o", so],
                         check=True, capture_output=True, timeout=120)
+                with open(sig, "w") as f:
+                    f.write(want_sig)
             lib = ctypes.CDLL(so)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             u64p = ctypes.POINTER(ctypes.c_uint64)

@@ -13,6 +13,7 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <vector>
@@ -39,7 +40,9 @@ inline size_t& held() { static size_t b = 0; return b; }
 inline size_t cap() {
     static size_t c = [] {
         const char* e = getenv("KANZI_TPU_HUGEPOOL_MB");
-        return e ? size_t(atoll(e)) << 20 : size_t(4) << 30;
+        if (!e) return size_t(4) << 30;
+        long long v = atoll(e);  // negative/garbage disables the pool
+        return v > 0 ? size_t(v) << 20 : size_t(0);
     }();
     return c;
 }
@@ -59,10 +62,17 @@ inline void* take(size_t len) {
     return nullptr;
 }
 
-inline bool give(void* p, size_t len) {
+inline bool give(void* p, size_t len) noexcept {
     std::lock_guard<std::mutex> g(mu());
     if (held() + len > cap()) return false;
-    entries().push_back({p, len});
+    // give() runs from destructors (~HugeBuf); a bad_alloc from
+    // push_back must not escape — report "not pooled" so the caller
+    // munmaps instead
+    try {
+        entries().push_back({p, len});
+    } catch (...) {
+        return false;
+    }
     held() += len;
     return true;
 }
