@@ -373,18 +373,43 @@ def main() -> int:
             sl = data[:LEVEL_SLICE_MB[level] * 1024 * 1024]
             key = str(level)
             ent = {"slice_MB": LEVEL_SLICE_MB[level]}
-            # two ALTERNATING reps per side, best-of each: this host's
+            # ALTERNATING reps per side, best-of each: this host's
             # clock drifts +/-15-25% over minutes and the first ref run
             # pays cold page cache, so back-to-back pairs + max-rate is
-            # the only fair ratio
-            re_ = rd = oe = od = 0.0
+            # the only fair ratio. If a side's reps disagree by > 30%
+            # (scheduler noise on this 1-core host: round 3 recorded a
+            # 6x-slow ref l9), keep re-running that side up to 2 extra
+            # times until its two best agree.
+            ref_encs, ref_decs, our_encs, our_decs = [], [], [], []
             rs = rsha = osz = osha = None
+
+            def _stable(xs):
+                if len(xs) < 2:
+                    return False
+                a, b = sorted(xs)[-2:]
+                return a >= 0.7 * b
+
             for _rep in range(2):
                 if have_ref:
                     e1, d1, rs, rsha = reference_level(sl, level, td)
-                    re_, rd = max(re_, e1), max(rd, d1)
+                    ref_encs.append(e1)
+                    ref_decs.append(d1)
                 e2, d2, osz, osha = ours_level(sl, level)
-                oe, od = max(oe, e2), max(od, d2)
+                our_encs.append(e2)
+                our_decs.append(d2)
+            for _extra in range(2):
+                if have_ref and not (_stable(ref_encs)
+                                     and _stable(ref_decs)):
+                    e1, d1, rs, rsha = reference_level(sl, level, td)
+                    ref_encs.append(e1)
+                    ref_decs.append(d1)
+                if not (_stable(our_encs) and _stable(our_decs)):
+                    e2, d2, osz, osha = ours_level(sl, level)
+                    our_encs.append(e2)
+                    our_decs.append(d2)
+            re_ = max(ref_encs) if ref_encs else 0.0
+            rd = max(ref_decs) if ref_decs else 0.0
+            oe, od = max(our_encs), max(our_decs)
             if have_ref:
                 ent.update({"ref_enc_MBps": round(re_, 2),
                             "ref_dec_MBps": round(rd, 2),
@@ -435,23 +460,43 @@ def main() -> int:
 
     value = dev["ans0_encode_MBps"]
     vs = (value / ref_ans0) if ref_ans0 else 0.0
+
+    # full detail goes to a FILE (the driver only keeps the tail of
+    # stdout, which truncated the round-3 device numbers); the printed
+    # line stays compact with the device section ordered last so any
+    # tail capture still carries it
+    detail_full = {
+        "corpus_MB": len(data) // (1024 * 1024),
+        "levels_host_e2e": levels,
+        "ans0_ref_MBps": round(ref_ans0, 2) if ref_ans0 else None,
+        "ans1_ref_MBps": round(ref_ans1, 2) if ref_ans1 else None,
+        "device_HBM_to_HBM": {
+            k: round(v, 2) if isinstance(v, (int, float)) and v is not True
+            else v for k, v in dev.items()},
+        "note": ("levels_* compare our host-native pipeline to the "
+                 "reference binary at -j 1 on this 1-core host; "
+                 "device_* are TPU kernel rates HBM->HBM (the dev "
+                 "tunnel caps any host<->device e2e at ~25-30 MB/s)"),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail_full, f, indent=1)
+
+    ratios = {k: [v.get("enc_vs_ref"), v.get("dec_vs_ref")]
+              for k, v in levels.items()}
     print(json.dumps({
         "metric": "ans0_encode_device_MBps",
         "value": round(value, 3),
         "unit": "MB/s",
         "vs_baseline": round(vs, 4),
         "detail": {
-            "corpus_MB": len(data) // (1024 * 1024),
+            "levels_enc_dec_vs_ref": ratios,
+            "bytes_identical_all": all(
+                v.get("bytes_identical", False) for v in levels.values()),
+            "full_detail_file": "BENCH_DETAIL.json",
             "device_HBM_to_HBM": {
-                k: round(v, 2) if isinstance(v, (int, float)) and v is not True
-                else v for k, v in dev.items()},
-            "ans0_ref_MBps": round(ref_ans0, 2) if ref_ans0 else None,
-            "ans1_ref_MBps": round(ref_ans1, 2) if ref_ans1 else None,
-            "levels_host_e2e": levels,
-            "note": ("levels_* compare our host-native pipeline to the "
-                     "reference binary at -j 1 on this 1-core host; "
-                     "device_* are TPU kernel rates HBM->HBM (the dev "
-                     "tunnel caps any host<->device e2e at ~25-30 MB/s)"),
+                k: round(v, 2) if isinstance(v, (int, float))
+                and v is not True else v for k, v in dev.items()},
         }}))
     return 0
 
