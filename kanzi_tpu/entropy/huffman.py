@@ -426,7 +426,7 @@ class HuffmanDecoder(EntropyDecoder):
     def decode(self, count: int) -> np.ndarray:
         bs_version = self.ctx.get_int("bsVersion", 6)
         if bs_version < 6:
-            raise NotImplementedError("legacy Huffman bitstream (bsVersion<6)")
+            return self._decode_v5(count)
         out = np.empty(count, dtype=np.uint8)
         device_ok = (self.chunk_size == MAX_CHUNK_SIZE
                      and count >= MAX_CHUNK_SIZE
@@ -469,6 +469,51 @@ class HuffmanDecoder(EntropyDecoder):
             start += size_chunk
         if queued:
             self._decode_device(out, queued)
+        return out
+
+    def _decode_v5(self, count: int) -> np.ndarray:
+        """bsVersion <= 5 layout (HuffmanDecoder.cpp decodeV5:349-447):
+        per chunk, code lengths as in v6, then a 2-bit stream count
+        (must be 0), a varint bit size, and ONE bitstream (no 4-fragment
+        split, no <32-byte raw chunks)."""
+        out = np.empty(count, dtype=np.uint8)
+        start = 0
+        while start < count:
+            size_chunk = min(self.chunk_size, count - start)
+            alphabet, sizes, codes = self._read_lengths()
+            if len(alphabet) == 0:
+                return out[:start]
+            if len(alphabet) == 1:
+                out[start:start + size_chunk] = alphabet[0]
+                start += size_chunk
+                continue
+            if self.ibs.read_bits(2) != 0:
+                raise ValueError("Invalid bitstream: only one Huffman "
+                                 "stream supported")
+            sz_bits = eu.read_varint(self.ibs)
+            if sz_bits < 0 or sz_bits > size_chunk * MAX_SYMBOL_SIZE:
+                raise ValueError("Invalid bitstream: Huffman chunk size")
+            if sz_bits:
+                tbl_sym = np.zeros(TABLE_MASK + 1, dtype=np.uint8)
+                tbl_len = np.full(TABLE_MASK + 1, 7, dtype=np.int64)
+                for s in alphabet:
+                    ln = int(sizes[s])
+                    w = 1 << (DECODING_BATCH_SIZE - ln)
+                    idx = int(codes[s]) * w
+                    tbl_sym[idx:idx + w] = s
+                    tbl_len[idx:idx + w] = ln
+                raw = bytearray(self.ibs.read_bytes(sz_bits >> 3))
+                if sz_bits & 7:
+                    tail = self.ibs.read_bits(sz_bits & 7)
+                    raw.append((tail << (8 - (sz_bits & 7))) & 0xFF)
+                nbytes = (sz_bits + 7) >> 3
+                bits = unpack_bits(bytes(raw), nbytes * 8)
+                win = sliding_window_values(bits, DECODING_BATCH_SIZE)
+                lens = tbl_len[win]
+                nxt = np.arange(len(win), dtype=np.int64) + lens
+                pos = chain_walk(nxt, 0, size_chunk)
+                out[start:start + size_chunk] = tbl_sym[win[pos]]
+            start += size_chunk
         return out
 
     def _read_fragments(self):

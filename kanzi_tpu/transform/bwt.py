@@ -129,6 +129,34 @@ class BWTBlockCodec(ByteTransform):
                 p_index_size, "big")
         return np.frombuffer(bytes(header) + out_bwt.tobytes(), dtype=np.uint8)
 
+    def _inverse_legacy(self, src: np.ndarray, block_size: int):
+        """bsVersion <= 5 layout (BWTBlockCodec.cpp:140-167): per chunk,
+        1 mode byte whose top 2 bits give pIndexSizeBytes-1 and low 6
+        bits the primary index's high bits, followed by the remaining
+        index bytes; chunk count derives from the FULL block size."""
+        chunks = get_bwt_chunks(block_size)
+        indexes = []
+        idx = 0
+        remaining = block_size
+        for _ in range(chunks):
+            block_mode = int(src[idx])
+            idx += 1
+            p_index_bytes = 1 + ((block_mode >> 6) & 0x03)
+            if remaining < p_index_bytes:
+                raise ValueError("BWTBlockCodec: truncated legacy header")
+            remaining -= p_index_bytes
+            shift = (p_index_bytes - 1) << 3
+            primary_index = (block_mode & 0x3F) << shift
+            for _n in range(1, p_index_bytes):
+                shift -= 8
+                primary_index |= int(src[idx]) << shift
+                idx += 1
+            # legacy indexes are stored verbatim (no -1 bias)
+            indexes.append(primary_index)
+        if not all(0 < ix <= remaining for ix in indexes):
+            raise ValueError("BWTBlockCodec: invalid legacy primary index")
+        return bwt_inverse(src[idx:], indexes)
+
     def inverse_into(self, src: np.ndarray, out: np.ndarray):
         """Native packed-walk inverse straight into `out` (BWT output
         length == payload length, so the fit check is exact). Returns
@@ -175,7 +203,7 @@ class BWTBlockCodec(ByteTransform):
             raise ValueError("BWTBlockCodec: invalid block")
         bs_version = self.ctx.get_int("bsVersion", 6)
         if bs_version <= 5:
-            raise NotImplementedError("legacy BWT header (bsVersion<6)")
+            return self._inverse_legacy(src, block_size)
         mode = int(src[0])
         log_nb_chunks = (mode >> 2) & 0x07
         p_index_size = (mode & 0x03) + 1

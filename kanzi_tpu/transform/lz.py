@@ -305,7 +305,7 @@ class LZCodec(ByteTransform):
             raise ValueError("LZ codec: block too short")
         bs_version = self.ctx.get_int("bsVersion", 6)
         if bs_version < 6:
-            raise NotImplementedError("legacy LZ bitstream (bsVersion<6)")
+            return self._inverse_v5(src, count)
         from kanzi_tpu.utils import native
         if native.transforms_available():
             return native.lzx_inverse(src, max(4 * count, 1 << 20))
@@ -371,6 +371,87 @@ class LZCodec(ByteTransform):
                 src_idx += lit_len
                 if src_idx >= src_end:
                     break
+
+            repd1 = repd0
+            repd0 = dist
+            ref = len(out) - dist
+            if ref < 0 or dist > max_dist:
+                raise ValueError("LZ codec: invalid match distance")
+            if dist >= mlen:
+                out += out[ref:ref + mlen]
+            else:
+                for _ in range(mlen):
+                    out.append(out[ref])
+                    ref += 1
+        if src_idx != src_end + 13:
+            raise ValueError("LZ codec: stream not fully consumed")
+        return np.frombuffer(bytes(out), dtype=np.uint8)
+
+    def _inverse_v5(self, src: np.ndarray, count: int) -> np.ndarray:
+        """bsVersion <= 5 wire format (LZCodec.cpp inverseV5:614-760):
+        header holds tkIdx/mIdx/mLenIdx as RELATIVE stream offsets,
+        token LLLRMMMM (R = repeat-distance select / extra distance
+        byte), distances sized by the mFlag bit, minMatch from a
+        4-entry table, repeat distances start at 0."""
+        data = src.tolist()
+        tk_idx = int.from_bytes(src[0:4].tobytes(), "little", signed=True)
+        m_idx = int.from_bytes(src[4:8].tobytes(), "little", signed=True)
+        mlen_idx = int.from_bytes(src[8:12].tobytes(), "little",
+                                  signed=True)
+        if tk_idx < 0 or m_idx < 0 or mlen_idx < 0:
+            raise ValueError("LZ codec: negative stream index")
+        if (tk_idx < 13 or tk_idx > count or m_idx > count - tk_idx
+                or mlen_idx > count - tk_idx - m_idx):
+            raise ValueError("LZ codec: invalid stream layout")
+        m_idx += tk_idx
+        mlen_idx += m_idx
+
+        src_end = tk_idx - 13
+        lit_end = tk_idx
+        m_flag = data[12] & 1
+        max_dist = MAX_DISTANCE1 if m_flag == 0 else MAX_DISTANCE2
+        min_match = (MIN_MATCH4, 9, MIN_MATCH6,
+                     MIN_MATCH6)[(data[12] >> 1) & 0x03]
+        src_idx = 13
+        out = bytearray()
+        repd0 = 0
+        repd1 = 0
+
+        while True:
+            token = data[tk_idx]
+            tk_idx += 1
+            if token >= 32:
+                if token >= 0xE0:
+                    extra, src_idx = _read_length(data, src_idx)
+                    lit_len = 7 + extra
+                else:
+                    lit_len = token >> 5
+                if lit_len > lit_end - src_idx:
+                    raise ValueError("LZ codec: literal overrun")
+                out += src[src_idx:src_idx + lit_len].tobytes()
+                src_idx += lit_len
+                if src_idx >= src_end:
+                    break
+
+            mlen = token & 0x0F
+            if mlen == 15:
+                extra, mlen_idx = _read_length(data, mlen_idx)
+                mlen = min_match + extra
+                dist = repd0 if (token & 0x10) == 0 else repd1
+            else:
+                if mlen == 14:
+                    extra, mlen_idx = _read_length(data, mlen_idx)
+                    mlen = 14 + min_match + extra
+                else:
+                    mlen += min_match
+                dist = data[m_idx]
+                m_idx += 1
+                if m_flag != 0:
+                    dist = (dist << 8) | data[m_idx]
+                    m_idx += 1
+                if (token >> 4) & 1:
+                    dist = (dist << 8) | data[m_idx]
+                    m_idx += 1
 
             repd1 = repd0
             repd0 = dist
