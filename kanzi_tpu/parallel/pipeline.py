@@ -388,31 +388,19 @@ def _zrlt_inverse_jnp(data: jnp.ndarray, out_n: int) -> jnp.ndarray:
 
 def _bwt_inverse_jnp(payload: jnp.ndarray, n: int, pis: int):
     """BWTBlockCodec inverse (mergeTPSI semantics) on device: parse the
-    primary index from the header, stable-sort positions by value, chain
-    walk via pointer doubling. payload [hdr+n] u8, n/pis static."""
-    hdr = 1 + 8 * pis
+    primary index from the header, then run the all-sort cycle-ranking
+    inverse (ops/bwt.py _bwt_inverse_core — TPU sorts beat XLA gathers
+    ~100x, so the chain walk is 2*log2(n) multi-payload sorts).
+    payload [hdr+n] u8, n/pis static."""
+    from kanzi_tpu.ops.bwt import _bwt_inverse_core, _sa_bucket
     p_idx = jnp.int32(0)
     for b in range(pis):
         p_idx = (p_idx << 8) | payload[1 + b].astype(jnp.int32)
     p_idx = p_idx + 1                            # stored value-1
-    bwt = payload[hdr:hdr + n]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    order = jnp.argsort(bwt, stable=True)
-    adj = jnp.where((idx >= 1) & (idx < p_idx), idx - 1, idx)
-    adj = adj.at[0].set(0)
-    vals = jnp.take(bwt, order)
-    nxt = jnp.take(adj, order)
-    # chain walk from p_idx-1 by pointer doubling: log2(n) gather rounds
-    pos = jnp.zeros(n, jnp.int32).at[0].set(p_idx - 1)
-    filled = 1
-    f = nxt
-    while filled < n:
-        take = min(filled, n - filled)
-        nxt_pos = jnp.take(f, jax.lax.dynamic_slice(pos, (0,), (take,)))
-        pos = jax.lax.dynamic_update_slice(pos, nxt_pos, (filled,))
-        f = jnp.take(f, f)
-        filled *= 2
-    return jnp.take(vals, pos).astype(jnp.uint8)
+    hdr = 1 + 8 * pis
+    npad = _sa_bucket(n)
+    bwt = jnp.zeros(npad, jnp.uint8).at[:n].set(payload[hdr:hdr + n])
+    return _bwt_inverse_core(bwt, jnp.int32(n), p_idx, npad)[:n]
 
 
 @lru_cache(maxsize=8)

@@ -34,6 +34,16 @@ def test_bwt_forward_matches():
         assert list(idx_d) == list(np.asarray(idx_n)), name
 
 
+def test_bwt_inverse_device_matches():
+    """Sort-based device inverse (cycle ranking) vs the golden model,
+    across data shapes and primary-index positions."""
+    for name, b in _cases().items():
+        k = 8 if len(b) >= 256 else 1
+        out, idx = compute_bwt(b, k)
+        back = dbwt.bwt_inverse(np.asarray(out), int(np.asarray(idx)[0]))
+        assert np.array_equal(back, b), name
+
+
 def test_transform_uses_device_and_roundtrips():
     from kanzi_tpu.transform.bwt import bwt_forward, bwt_inverse
     b = _cases()["text"]
