@@ -309,19 +309,47 @@ def device_rates(data: bytes):
         best = min(best, time.perf_counter() - t0)
     res["huffman_encode_MBps"] = hch.size / 1e6 / best
 
-    # device BWT forward (sort-based suffix array), one 1 MiB block
+    # device BWT forward + inverse (sort formulations), one 1 MiB block,
+    # staged HBM->HBM (host<->device transfers excluded: the dev tunnel
+    # would otherwise dominate)
     try:
-        from kanzi_tpu.ops import bwt as dbwt
-        bblock = np.frombuffer(data[:1 << 20], np.uint8)
-        dbwt.bwt_forward(bblock, 8)
+        from kanzi_tpu.ops.bwt import (_bwt_impl, _bwt_inverse_impl,
+                                       _sa_bucket)
+        from kanzi_tpu.utils import native
+        nb = 1 << 20
+        bblock = np.frombuffer(data[:nb], np.uint8)
+        npad = _sa_bucket(nb)
+        sfwd = np.zeros(npad, np.uint8)
+        sfwd[:nb] = bblock
+        sfj = jnp.asarray(sfwd)
+        nj = jnp.int32(nb)
+        o = _bwt_impl(sfj, nj, npad)
+        _ = np.asarray(o[1])
         best = float("inf")
         for _i in range(2):
             t0 = time.perf_counter()
-            out_b, idx_b = dbwt.bwt_forward(bblock, 8)
+            o = _bwt_impl(sfj, nj, npad)
+            _ = np.asarray(o[1])
             best = min(best, time.perf_counter() - t0)
-        res["bwt_forward_1MiB_MBps"] = len(bblock) / 1e6 / best
-    except Exception:
+        res["bwt_forward_1MiB_MBps"] = nb / 1e6 / best
+
+        bwt_b, idx_b = native.bwt_forward(bblock.copy(), 8)
+        sinv = np.zeros(npad, np.uint8)
+        sinv[:nb] = bwt_b
+        sij = jnp.asarray(sinv)
+        pj = jnp.int32(int(idx_b[0]))
+        oi = _bwt_inverse_impl(sij, nj, pj, npad)
+        assert np.asarray(oi)[:nb].tobytes() == bblock.tobytes()
+        best = float("inf")
+        for _i in range(2):
+            t0 = time.perf_counter()
+            oi = _bwt_inverse_impl(sij, nj, pj, npad)
+            _ = np.asarray(oi[:8])
+            best = min(best, time.perf_counter() - t0)
+        res["bwt_inverse_1MiB_MBps"] = nb / 1e6 / best
+    except Exception as e:
         res["bwt_forward_1MiB_MBps"] = None
+        res["bwt_inverse_1MiB_MBps"] = f"{type(e).__name__}: {e}"[:120]
 
     # order-1 ANS encode pipeline (bilinear MXU gather + lane scan)
     from kanzi_tpu.ops import ans1 as d1
