@@ -351,6 +351,31 @@ def device_rates(data: bytes):
         res["bwt_forward_1MiB_MBps"] = None
         res["bwt_inverse_1MiB_MBps"] = f"{type(e).__name__}: {e}"[:120]
 
+    # FULL l5 chain, ONE jitted program HBM->HBM: BWT(+codec header) ->
+    # RANK (Pallas SBRT) -> ZRLT -> ANS0 encode core, per 16-block batch
+    # of 1 MiB blocks (the per-chip GB/s story for the flagship level;
+    # the ANS0 stage encodes n/16K full chunks per block, >= the chunk
+    # count the product encodes, so the rate is conservative)
+    try:
+        res["l5_chain_MBps"] = _l5_chain_rate(data)
+    except Exception as e:
+        res["l5_chain_MBps"] = f"{type(e).__name__}: {e}"[:120]
+
+    # FPAQ batched encode kernel (64 lockstep streams; l6 entropy stage)
+    try:
+        from kanzi_tpu.ops import fpaq as dfp
+        Lf = 64 * 1024
+        fstreams = np.frombuffer(data[:dfp.NS * Lf], np.uint8).reshape(
+            dfp.NS, Lf)
+        flens = np.full(dfp.NS, Lf, np.int32)
+        dfp.fpaq_encode_batch(fstreams, flens)     # compile + warm
+        t0 = time.perf_counter()
+        dfp.fpaq_encode_batch(fstreams, flens)
+        res["fpaq_encode_MBps"] = dfp.NS * Lf / 1e6 / (
+            time.perf_counter() - t0)
+    except Exception as e:
+        res["fpaq_encode_MBps"] = f"{type(e).__name__}: {e}"[:120]
+
     # order-1 ANS encode pipeline (bilinear MXU gather + lane scan)
     from kanzi_tpu.ops import ans1 as d1
     from kanzi_tpu.utils import native

@@ -28,6 +28,21 @@ MAX_BLOCK_SIZE = 1 << 30
 PSCALE = 65536
 
 
+def emit_prepared(obs: BitWriter, prep) -> int:
+    """Write a device-encoded FPAQ entropy payload. prep = (chunk_bufs,
+    boundary_low56s, final_low56) from
+    io.compressed_stream.prepare_fpaq_batch — the exact bytes + 56-bit
+    inter-chunk flushes the scalar coder would emit (FPAQEncoder.cpp
+    chunk framing). Returns the final low for dispose()."""
+    chunk_bufs, bound_lows, final_low = prep
+    for i, buf in enumerate(chunk_bufs):
+        eu.write_varint(obs, len(buf))
+        obs.write_bytes(buf)
+        if i + 1 < len(chunk_bufs):
+            obs.write_bits(bound_lows[i], 56)
+    return final_low
+
+
 class FPAQEncoder(EntropyEncoder):
     def __init__(self, obs: BitWriter, ctx=None):
         super().__init__(obs, ctx)
@@ -42,6 +57,10 @@ class FPAQEncoder(EntropyEncoder):
         count = len(block)
         if count >= MAX_BLOCK_SIZE:
             raise ValueError("Invalid block size parameter (max is 1<<30)")
+        prep = getattr(self, "prepared_device", None)
+        if prep is not None:
+            self._low = emit_prepared(self.obs, prep)
+            return count
         start = 0
         data = block.tolist()
         while start < count:

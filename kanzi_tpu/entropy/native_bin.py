@@ -61,6 +61,11 @@ class NativeBinEncoder(EntropyEncoder):
         count = len(block)
         if count >= MAX_BLOCK_SIZE:
             raise ValueError("Invalid block size parameter (max is 1<<30)")
+        prep = getattr(self, "prepared_device", None)
+        if prep is not None and self.kind == KIND_FPAQ:
+            from kanzi_tpu.entropy.fpaq import emit_prepared
+            self._final_low = emit_prepared(self.obs, prep)
+            return count
         length = FPAQ_CHUNK if self.kind == KIND_FPAQ else _chunk_length(count)
         start = 0
         while start < count:
@@ -81,7 +86,10 @@ class NativeBinEncoder(EntropyEncoder):
         if self._disposed:
             return
         self._disposed = True
-        self.obs.write_bits(native.bincoder_get_low(self._h) | MASK_0_24, 56)
+        low = getattr(self, "_final_low", None)
+        if low is None:
+            low = native.bincoder_get_low(self._h)
+        self.obs.write_bits(low | MASK_0_24, 56)
 
     def __del__(self):
         h = getattr(self, "_h", None)

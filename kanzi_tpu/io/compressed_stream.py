@@ -22,6 +22,7 @@ doing the ordered host-side gather.
 from __future__ import annotations
 
 import io as _pyio
+import os
 from typing import Optional
 
 import numpy as np
@@ -272,6 +273,56 @@ def encode_block(block: np.ndarray, block_id: int, ctx: Context,
 
 ANS0_TYPE = 5
 HUFFMAN_TYPE = 1
+FPAQ_TYPE = 2
+FPAQ_CHUNK = 4 * 1024 * 1024
+
+
+def prepare_fpaq_batch(states: list) -> None:
+    """Cross-block device batching for the FPAQ (l6) entropy stage: up to
+    64 blocks' per-bit arithmetic-coding loops advance in lockstep on the
+    TPU (ops/fpaq.py), HBM->HBM, byte-identical with the scalar coder.
+
+    Opt-in via KANZI_TPU_FPAQ=1: the 64-stream kernel currently sustains
+    ~5 MB/s (it drives only 8 of the VPU's 128 lanes — see ops/fpaq.py),
+    below the native host coder, so it is not the default product path.
+    Reference parallel model: one EncodingTask per block
+    (src/io/CompressedOutputStream.cpp:476-540); coder:
+    src/entropy/FPAQEncoder.hpp encodeBit."""
+    import kanzi_tpu.ops as ops
+    if not ops.ENABLED or not os.environ.get("KANZI_TPU_FPAQ"):
+        return
+    elig = [st for st in states
+            if st["e_type"] == FPAQ_TYPE
+            and not (st["mode"] & COPY_BLOCK_MASK)
+            and st["post_len"] > 0]
+    if not elig:
+        return
+    from kanzi_tpu.ops import fpaq as dfp
+    wpc = FPAQ_CHUNK // dfp.WIN_B             # windows per FPAQ chunk
+    for g0 in range(0, len(elig), dfp.NS):
+        group = elig[g0:g0 + dfp.NS]
+        cap = max(st["post_len"] for st in group)
+        streams = np.zeros((len(group), cap), np.uint8)
+        lens = np.zeros(len(group), np.int32)
+        for i, st in enumerate(group):
+            n = st["post_len"]
+            streams[i, :n] = st["out"][:n]
+            lens[i] = n
+        bufs, low56, ovf, ww, wl = dfp.fpaq_encode_batch(streams, lens)
+        for i, st in enumerate(group):
+            if ovf[i]:
+                continue                      # host re-encodes this block
+            nchunks = -(-int(lens[i]) // FPAQ_CHUNK)
+            chunk_bufs, bound_lows = [], []
+            pos = 0
+            for k in range(nchunks):
+                w_end = min((k + 1) * wpc, ww.shape[1])
+                words = int(ww[i, :w_end].sum()) - pos
+                chunk_bufs.append(bufs[i][4 * pos:4 * (pos + words)])
+                pos += words
+                if k + 1 < nchunks:
+                    bound_lows.append(int(wl[i, w_end - 1]))
+            st["prepared_entropy"] = (chunk_bufs, bound_lows, int(low56[i]))
 
 
 def prepare_huffman_batch(states: list) -> None:
@@ -605,6 +656,7 @@ class CompressedWriter:
                 for block, bid, slot in work]
         prepare_ans0_batch(states)
         prepare_huffman_batch(states)
+        prepare_fpaq_batch(states)
         verbose5 = self.ctx.get_int("verbosity", 0) > 4 and self.listeners
         for st in states:
             payload, bits = _encode_block_phase2(st, self.listeners)

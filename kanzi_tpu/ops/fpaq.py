@@ -91,10 +91,13 @@ def _add_t(l_h, l_l, t_h, t_l, plus1):
     return l_h + t_h + (s >> np.uint32(28)), s & MASK28
 
 
-def encode_streams_np(streams: np.ndarray, lens: np.ndarray, state):
+def encode_streams_np(streams: np.ndarray, lens: np.ndarray, state,
+                      banks0=None):
     """Lockstep-encode b streams. streams [b, L] u8, lens [b] (bytes per
     row; rows are padded past lens). state from init_state (mutated:
-    low/high/probs carry to the next chunk of the same block).
+    low/high/probs carry to the next chunk of the same block). banks0
+    [b] u32 = prev byte >> 6 when resuming mid-stream (the bank context
+    carries across windows; defaults to the stream-start value 0).
 
     Returns (out [b, L+8] u32 emission words big-endian,
     counts [b] words emitted, state'). The emission stream is exactly
@@ -105,7 +108,8 @@ def encode_streams_np(streams: np.ndarray, lens: np.ndarray, state):
     out = np.zeros((b, L + 8), np.uint32)
     cnt = np.zeros(b, np.int64)
     live_rows = lens.astype(np.int64)
-    banks = np.zeros(b, np.uint32)                        # prev byte >> 6
+    banks = (np.zeros(b, np.uint32) if banks0 is None
+             else banks0.astype(np.uint32).copy())        # prev byte >> 6
     for i in range(L):
         alive = i < live_rows
         val = streams[:, i].astype(np.uint32)
@@ -446,6 +450,35 @@ def _encode_fn(n_win: int):
     )
 
 
+def _encode_batch_np(streams: np.ndarray, lens: np.ndarray):
+    """CPU-backend fallback for fpaq_encode_batch (same return contract):
+    the numpy lockstep model driven window by window so the per-window
+    word counts / low values used for chunk framing match the kernel's."""
+    b, L = streams.shape
+    Lp = -(-max(L, 1) // WIN_B) * WIN_B
+    n_win = Lp // WIN_B
+    sp = np.zeros((b, Lp), np.uint8)
+    sp[:, :L] = streams
+    state = init_state(b)
+    win_words = np.zeros((b, n_win), np.int64)
+    win_low = np.zeros((b, n_win), np.uint64)
+    parts = [[] for _ in range(b)]
+    for w in range(n_win):
+        wl = np.clip(lens.astype(np.int64) - w * WIN_B, 0, WIN_B)
+        banks0 = (None if w == 0
+                  else (sp[:, w * WIN_B - 1] >> 6).astype(np.uint32))
+        out, cnt, state = encode_streams_np(
+            sp[:, w * WIN_B:(w + 1) * WIN_B], wl, state, banks0=banks0)
+        win_words[:, w] = cnt
+        win_low[:, w] = final_low56(state)
+        for s in range(b):
+            parts[s].append(out[s, :cnt[s]].astype(">u4").tobytes())
+    low = [int(x) for x in final_low56(state)]
+    bufs = [b"".join(p) for p in parts]
+    overflow = [bool(x) for x in (win_words > CAPW).any(axis=1)]
+    return bufs, low, overflow, win_words, win_low
+
+
 def fpaq_encode_batch(streams: np.ndarray, lens: np.ndarray):
     """Encode up to NS streams on device. streams [b, L] u8 (rows padded
     past lens[b]); returns (bufs, low56, overflow): bufs[i] = emission
@@ -455,7 +488,10 @@ def fpaq_encode_batch(streams: np.ndarray, lens: np.ndarray):
     Also returns per-window word counts for chunk framing:
     (bufs, low56, overflow, win_words [b, n_win], win_low56 [b, n_win])."""
     import kanzi_tpu.ops as _ops
+    from kanzi_tpu.ops.ans import _on_tpu
     _ops.count("fpaq_encode_device", streams.shape[0])
+    if not _on_tpu():
+        return _encode_batch_np(streams, lens)
     b, L = streams.shape
     Lp = -(-max(L, 1) // WIN_B) * WIN_B
     n_win = Lp // WIN_B

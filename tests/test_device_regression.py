@@ -58,6 +58,31 @@ def test_ans0_device_decode_large_batches(c):
 
 
 @needs_tpu
+def test_fpaq_device_e2e_byte_identical(monkeypatch):
+    """l6 entropy stage on device (KANZI_TPU_FPAQ=1): container bytes
+    must equal the host coder's, multi-block, mixed content."""
+    import kanzi_tpu.ops as ops
+    from kanzi_tpu.io.compressed_stream import (compress_bytes,
+                                                decompress_bytes)
+    assert _on_tpu(), "test requires the TPU backend"
+    monkeypatch.setenv("KANZI_TPU_FPAQ", "1")
+    rng = np.random.default_rng(7)
+    data = (b"abab" * 32768 + rng.integers(0, 256, 128 << 10,
+                                           dtype=np.uint8).tobytes())
+    ops.reset_counters()
+    blob = compress_bytes(data, "NONE", "FPAQ", block_size=128 << 10)
+    assert ops.COUNTERS.get("fpaq_encode_device", 0) >= 2, ops.COUNTERS
+    monkeypatch.delenv("KANZI_TPU_FPAQ")
+    ops.disable()
+    try:
+        host = compress_bytes(data, "NONE", "FPAQ", block_size=128 << 10)
+    finally:
+        ops.enable()
+    assert blob == host
+    assert decompress_bytes(blob) == data
+
+
+@needs_tpu
 @pytest.mark.parametrize("kind", ["random", "mixed"])
 def test_l5_device_e2e_default_block(kind):
     """Full l5 stream roundtrip at the default 4 MiB block with data big
