@@ -182,6 +182,65 @@ def ours_level(data: bytes, level: int):
         ops.enable()
 
 
+def _l5_chain_rate(data: bytes) -> float:
+    """Full l5 chain as ONE jitted program, HBM->HBM: BWT + block-codec
+    header -> RANK (Pallas SBRT automaton) -> ZRLT -> ANS0 encode core,
+    over a 16 x 1 MiB block batch."""
+    import jax
+    import jax.numpy as jnp
+    from kanzi_tpu.core.stats import log2 as _log2
+    from kanzi_tpu.ops import ans as dans
+    from kanzi_tpu.ops import sbrt as dsb
+    from kanzi_tpu.ops.bwt import _sa_bucket
+    from kanzi_tpu.parallel.pipeline import _bwt_codec_jnp, _zrlt_forward_jnp
+
+    B = dsb.G                      # 16 blocks = one SBRT grid group
+    n = 1 << 20
+    npad = _sa_bucket(n)
+    lbs = _log2(n) + (1 if n & (n - 1) else 0)
+    hdr = 1 + 8 * ((lbs + 7) >> 3)
+    m = n + hdr
+    lp = -(-m // dsb.WIN_B) * dsb.WIN_B
+    zcap = lp + 1024
+    s_chunks = n // dans.CHUNK
+    sfn = dsb._sbrt_fn(2, False, 1, lp // dsb.WIN_B)
+
+    def chain(blocks):
+        def bwt_one(block):
+            padded = jnp.zeros(npad, jnp.uint8).at[:n].set(block)
+            return _bwt_codec_jnp(padded, n, npad)
+        bc = jax.vmap(bwt_one)(blocks)                       # [B, m]
+        x = jnp.zeros((B, lp), jnp.uint8).at[:, :m].set(bc)
+        w = x.reshape(B, lp // 4, 4).astype(jnp.uint32)
+        words = ((w[..., 0] << 24) | (w[..., 1] << 16)
+                 | (w[..., 2] << 8) | w[..., 3]).astype(jnp.int32)
+        lens2 = jnp.full((B, 128), m, jnp.int32)
+        ro = sfn(words, lens2).astype(jnp.uint32)            # [B, lp//4]
+        rb = jnp.stack([(ro >> 24) & 0xFF, (ro >> 16) & 0xFF,
+                        (ro >> 8) & 0xFF, ro & 0xFF],
+                       axis=-1).reshape(B, lp).astype(jnp.uint8)
+        zo, zt = jax.vmap(lambda r: _zrlt_forward_jnp(
+            r.astype(jnp.int32), zcap))(rb)
+        chunks = zo[:, :s_chunks * dans.CHUNK].reshape(
+            B * s_chunks, dans.CHUNK)
+        freqs, states, fo, ho, lo, plen = dans._encode_core(
+            chunks, use_pallas=dans._on_tpu())
+        return states, plen, zt
+
+    fn = jax.jit(chain)
+    blocks = jnp.asarray(np.frombuffer(data[:B * n], np.uint8)
+                         .reshape(B, n))
+    st, plen, zt = fn(blocks)
+    _ = np.asarray(st[0, 0])
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        st, plen, zt = fn(blocks)
+        _ = np.asarray(st[0, 0]), np.asarray(plen[0]), np.asarray(zt[0])
+        best = min(best, time.perf_counter() - t0)
+    return B * n / 1e6 / best
+
+
 def device_rates(data: bytes):
     """TPU kernel pipeline rates, HBM->HBM, on a 64 MiB batch."""
     import jax.numpy as jnp
