@@ -308,7 +308,8 @@ def prepare_fpaq_batch(states: list) -> None:
             n = st["post_len"]
             streams[i, :n] = st["out"][:n]
             lens[i] = n
-        bufs, low56, ovf, ww, wl = dfp.fpaq_encode_batch(streams, lens)
+        bufs, low56, ovf, ww, wl = dfp.fpaq_encode_batch(
+            streams, lens, chunk_bytes=FPAQ_CHUNK)
         for i, st in enumerate(group):
             if ovf[i]:
                 continue                      # host re-encodes this block

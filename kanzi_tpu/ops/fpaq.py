@@ -41,6 +41,11 @@ CAPW = WIN_B // 2            # emission capacity per stream per window
                              # streams overflowing this are flagged and
                              # re-encoded on host)
 LEVEL_W = [4 << j for j in range(8)]   # per-level table width (4 banks)
+CHUNK_B = 4 * 1024 * 1024    # FPAQ chunk (FPAQEncoder.cpp DEFAULT_CHUNK_
+                             # SIZE): the bank pointer resets to probs[0]
+                             # at every chunk start (``uint16* p =
+                             # _probs[0]`` in the per-chunk loop); probs
+                             # values and low/high carry across chunks
 
 
 def init_state(b: int):
@@ -97,7 +102,8 @@ def encode_streams_np(streams: np.ndarray, lens: np.ndarray, state,
     row; rows are padded past lens). state from init_state (mutated:
     low/high/probs carry to the next chunk of the same block). banks0
     [b] u32 = prev byte >> 6 when resuming mid-stream (the bank context
-    carries across windows; defaults to the stream-start value 0).
+    carries across windows but resets to 0 at FPAQ chunk starts — the
+    caller supplies the right value; defaults to the stream-start 0).
 
     Returns (out [b, L+8] u32 emission words big-endian,
     counts [b] words emitted, state'). The emission stream is exactly
@@ -136,7 +142,11 @@ def encode_streams_np(streams: np.ndarray, lens: np.ndarray, state,
             flush = alive & (l_h == h_h) & ((l_l >> np.uint32(24))
                                             == (h_l >> np.uint32(24)))
             word = (h_h << np.uint32(4)) | (h_l >> np.uint32(24))
-            out[rows[flush], cnt[flush]] = word[flush]
+            # clamp at capacity: a stream past L+8 words has long since
+            # exceeded CAPW, so it is already flagged overflowed and its
+            # emission bytes are discarded (host re-encode); the clamped
+            # write only touches that stream's own (dead) row
+            out[rows[flush], np.minimum(cnt[flush], L + 7)] = word[flush]
             cnt[flush] += 1
             l_h = np.where(flush, (l_l << np.uint32(4)) & MASK28, l_h)
             l_l = np.where(flush, np.uint32(0), l_l)
@@ -273,8 +283,8 @@ def _update_lvl(tbl_ref, entry, newp, alive, j):
                               tbl_ref[:, :])
 
 
-def _fpaq_encode_kernel(in_ref, len_ref, emit_ref, cnt_ref, lh_o, ll_o,
-                        *tscratch):
+def _fpaq_encode_kernel(chunk_win, in_ref, len_ref, emit_ref, cnt_ref,
+                        lh_o, ll_o, *tscratch):
     """Grid dim 0 = byte windows. in_ref [SUB, WIN_B//4, SW] u32
     big-endian words; len_ref [SUB, SW] i32 stream lengths.
     Outputs per window: emit [1, SUB, CAPW*SW] compacted emission words,
@@ -295,6 +305,13 @@ def _fpaq_encode_kernel(in_ref, len_ref, emit_ref, cnt_ref, lh_o, ll_o,
         hh_s[:, :] = jnp.full((SUB, 128), MASK28)
         hl_s[:, :] = jnp.full((SUB, 128), MASK28)
         bank_s[:, :] = z
+
+    # FPAQ chunk start: the bank pointer returns to probs[0]
+    # (FPAQEncoder.cpp ``uint16* p = _probs[0]`` per chunk); probs
+    # values and the low/high shell carry across the boundary
+    @pl.when((w % chunk_win) == 0)
+    def _():
+        bank_s[:, :] = jnp.zeros((SUB, 128), jnp.uint32)
 
     # per-stream vectors are [SUB, 128]: first SW lanes real, the rest
     # in-range clones (lane & (SW-1)) so gathers stay legal; pad lanes
@@ -416,9 +433,9 @@ def _fpaq_encode_kernel(in_ref, len_ref, emit_ref, cnt_ref, lh_o, ll_o,
 
 
 @lru_cache(maxsize=8)
-def _encode_fn(n_win: int):
+def _encode_fn(n_win: int, chunk_win: int):
     return pl.pallas_call(
-        _fpaq_encode_kernel,
+        partial(_fpaq_encode_kernel, chunk_win),
         grid=(n_win,),
         in_specs=[
             pl.BlockSpec((SUB, (WIN_B // 4) * SW), lambda w: (0, w),
@@ -450,13 +467,15 @@ def _encode_fn(n_win: int):
     )
 
 
-def _encode_batch_np(streams: np.ndarray, lens: np.ndarray):
+def _encode_batch_np(streams: np.ndarray, lens: np.ndarray,
+                     chunk_bytes: int = CHUNK_B):
     """CPU-backend fallback for fpaq_encode_batch (same return contract):
     the numpy lockstep model driven window by window so the per-window
     word counts / low values used for chunk framing match the kernel's."""
     b, L = streams.shape
     Lp = -(-max(L, 1) // WIN_B) * WIN_B
     n_win = Lp // WIN_B
+    wpc = chunk_bytes // WIN_B
     sp = np.zeros((b, Lp), np.uint8)
     sp[:, :L] = streams
     state = init_state(b)
@@ -465,7 +484,7 @@ def _encode_batch_np(streams: np.ndarray, lens: np.ndarray):
     parts = [[] for _ in range(b)]
     for w in range(n_win):
         wl = np.clip(lens.astype(np.int64) - w * WIN_B, 0, WIN_B)
-        banks0 = (None if w == 0
+        banks0 = (None if w % wpc == 0
                   else (sp[:, w * WIN_B - 1] >> 6).astype(np.uint32))
         out, cnt, state = encode_streams_np(
             sp[:, w * WIN_B:(w + 1) * WIN_B], wl, state, banks0=banks0)
@@ -479,19 +498,23 @@ def _encode_batch_np(streams: np.ndarray, lens: np.ndarray):
     return bufs, low, overflow, win_words, win_low
 
 
-def fpaq_encode_batch(streams: np.ndarray, lens: np.ndarray):
+def fpaq_encode_batch(streams: np.ndarray, lens: np.ndarray,
+                      chunk_bytes: int = CHUNK_B):
     """Encode up to NS streams on device. streams [b, L] u8 (rows padded
     past lens[b]); returns (bufs, low56, overflow): bufs[i] = emission
     byte stream (the reference encoder's _buf), low56[i] = final
     low | MASK_0_24 (dispose value), overflow[i] = True when a window
     exceeded CAPW (caller must re-encode that stream on host).
     Also returns per-window word counts for chunk framing:
-    (bufs, low56, overflow, win_words [b, n_win], win_low56 [b, n_win])."""
+    (bufs, low56, overflow, win_words [b, n_win], win_low56 [b, n_win]).
+    chunk_bytes = FPAQ chunk size (bank context resets at each chunk
+    start; only tests override the 4 MiB wire default)."""
     import kanzi_tpu.ops as _ops
     from kanzi_tpu.ops.ans import _on_tpu
+    assert chunk_bytes % WIN_B == 0
     _ops.count("fpaq_encode_device", streams.shape[0])
     if not _on_tpu():
-        return _encode_batch_np(streams, lens)
+        return _encode_batch_np(streams, lens, chunk_bytes)
     b, L = streams.shape
     Lp = -(-max(L, 1) // WIN_B) * WIN_B
     n_win = Lp // WIN_B
@@ -510,8 +533,8 @@ def fpaq_encode_batch(streams: np.ndarray, lens: np.ndarray):
             SUB, (Lp // 4) * SW)
     lens2 = np.zeros((SUB, 128), np.int32)
     lens2[:, :SW] = lensp.reshape(SUB, SW)
-    emit, cnt, lh, ll = _encode_fn(n_win)(jnp.asarray(w32),
-                                          jnp.asarray(lens2))
+    emit, cnt, lh, ll = _encode_fn(n_win, chunk_bytes // WIN_B)(
+        jnp.asarray(w32), jnp.asarray(lens2))
     emit = np.asarray(emit).reshape(n_win, SUB, CAPW, SW)
     cnt = np.asarray(cnt)
     lh = np.asarray(lh)                       # [n_win, SUB, SW]

@@ -83,6 +83,29 @@ def test_numpy_model_decode_roundtrip():
 
 
 @needs_tpu
+def test_device_encode_chunk_boundary_bank_reset():
+    """Kernel chunk-boundary semantics: bank context resets to probs[0]
+    at every chunk_bytes boundary (regression for the round-4 carry-over
+    bug). Patched 1 KiB chunk = 2 WIN_B windows; boundary bytes forced
+    >= 64 so a missing reset changes the emission."""
+    rng = np.random.default_rng(14)
+    CH = 2 * dfp.WIN_B
+    streams, lens = _mk_streams(rng, dfp.NS, 4 * CH + 300)
+    lens[:] = np.maximum(lens, CH + 7)        # all streams cross a chunk
+    for k in range(1, 4):
+        streams[:, k * CH - 1] = np.maximum(streams[:, k * CH - 1], 200)
+    got = dfp.fpaq_encode_batch(streams, lens, chunk_bytes=CH)
+    ref = dfp._encode_batch_np(streams, lens, chunk_bytes=CH)
+    for b in range(dfp.NS):
+        assert got[2][b] == ref[2][b], b      # overflow flags
+        if not got[2][b]:
+            assert got[0][b] == ref[0][b], b  # emission bytes
+            assert got[1][b] == ref[1][b], b  # dispose low
+    assert np.array_equal(got[3], ref[3])     # per-window word counts
+    assert np.array_equal(got[4], ref[4])     # per-window lows
+
+
+@needs_tpu
 def test_device_encode_matches_numpy_model():
     rng = np.random.default_rng(13)
     streams, lens = _mk_streams(rng, dfp.NS, 2048)
