@@ -153,6 +153,81 @@ def shard_huffman_decode(codes: np.ndarray, sizes: np.ndarray,
             c, dhuff.CHUNK)
 
 
+@lru_cache(maxsize=8)
+def _sharded_fpaq_encode(mesh: Mesh, b: int, L: int, chunk: int):
+    from kanzi_tpu.ops import fpaq_jnp as fj
+    spec = NamedSharding(mesh, P(AXIS))
+    return jax.jit(fj._build_encode(b, L, chunk),
+                   in_shardings=(spec, spec),
+                   out_shardings=(spec,) * 5)
+
+
+def shard_fpaq_encode(streams: np.ndarray, lens: np.ndarray,
+                      mesh: Mesh | None = None, chunk_bytes=None):
+    """FPAQ-encode [b, L] byte streams (one per block) sharded across
+    the mesh, one lockstep jnp program per shard. Same return contract
+    as ops.fpaq_jnp.encode_batch_jnp: (bufs, low56, overflow,
+    chunk_words [b, nch], chunk_low56 [b, nch])."""
+    from kanzi_tpu.ops import fpaq_jnp as fj
+    if mesh is None:
+        mesh = block_mesh()
+    if chunk_bytes is None:
+        chunk_bytes = fj.CHUNK_B
+    n = mesh.devices.size
+    b, L = streams.shape
+    bp = _pad_to(b, n)
+    if bp != b:
+        streams = np.concatenate(
+            [streams, np.zeros((bp - b, L), np.uint8)])
+        lens = np.concatenate([lens, np.zeros(bp - b, lens.dtype)])
+    out = fj.encode_batch_jnp(
+        streams, lens, chunk_bytes,
+        jit_fn=_sharded_fpaq_encode(mesh, bp, L, chunk_bytes))
+    bufs, low56, overflow, cw, clow = out
+    return bufs[:b], low56[:b], overflow[:b], cw[:b], clow[:b]
+
+
+@lru_cache(maxsize=16)
+def _sharded_fpaq_decode(mesh: Mesh, b: int, Lc: int, W: int):
+    from kanzi_tpu.ops import fpaq_jnp as fj
+    spec = NamedSharding(mesh, P(AXIS))
+    return jax.jit(fj._build_decode(b, Lc, W),
+                   in_shardings=(spec,) * 4 + (spec, spec, spec, spec,
+                                               spec),
+                   out_shardings=(spec,) * 6)
+
+
+def shard_fpaq_decode(chunk_payloads, chunk_currents, lens: np.ndarray,
+                      mesh: Mesh | None = None, chunk_bytes=None):
+    """FPAQ-decode b streams (chunk framing parsed host-side) sharded
+    across the mesh. Same contract as ops.fpaq_jnp.decode_batch_jnp."""
+    from kanzi_tpu.ops import fpaq_jnp as fj
+    if mesh is None:
+        mesh = block_mesh()
+    if chunk_bytes is None:
+        chunk_bytes = fj.CHUNK_B
+    n = mesh.devices.size
+    b = lens.shape[0]
+    bp = _pad_to(b, n)
+    if bp != b:
+        pad = bp - b
+        chunk_payloads = [
+            np.concatenate([p, np.zeros((pad, p.shape[1]), p.dtype)])
+            for p in chunk_payloads]
+        chunk_currents = [
+            np.concatenate([c, np.zeros(pad, c.dtype)])
+            for c in chunk_currents]
+        lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+    L = int(lens.max())
+    fns = [_sharded_fpaq_decode(mesh, bp,
+                                min(chunk_bytes, L - k * chunk_bytes),
+                                p.shape[1])
+           for k, p in enumerate(chunk_payloads)]
+    out = fj.decode_batch_jnp(chunk_payloads, chunk_currents, lens,
+                              chunk_bytes, jit_fns=fns)
+    return out[:b]
+
+
 def shard_ans0_decode(freqs: np.ndarray, states: np.ndarray,
                       payload: np.ndarray, mesh: Mesh | None = None):
     """Decode sharded; same padding contract as shard_ans0_encode."""

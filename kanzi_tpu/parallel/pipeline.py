@@ -622,13 +622,15 @@ def prepare_huffman_batch_mesh(states: list, mesh) -> None:
         pos += k
 
 
-def compress_l2_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
-    """Full level-2 container: the DNA alias + LZ stages are sequential
-    host byte automata (match-finder hash table evolves with the parse —
-    the reference runs them one thread per block,
-    src/io/CompressedOutputStream.cpp:476-540); the Huffman entropy stage
-    is sharded over the mesh in one device call. Byte-identical to the
-    host writer."""
+def _compress_host_chain_mesh(data: bytes, block_size: int, mesh,
+                              chain: str, entropy: str,
+                              prepare_fn) -> bytes:
+    """Generic "sequential host transforms + mesh-sharded entropy"
+    compressor: the per-block transform chain runs as host byte automata
+    (one task per block, the reference's model,
+    src/io/CompressedOutputStream.cpp:476-540); the entropy stage for
+    ALL blocks runs in one sharded device call via prepare_fn. The
+    container is byte-identical to the host writer."""
     from kanzi_tpu.entropy.factory import entropy_name_to_type
     from kanzi_tpu.io.compressed_stream import (CompressedWriter,
                                                 _encode_block_phase1,
@@ -639,10 +641,10 @@ def compress_l2_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
         mesh = block_mesh()
     n = block_size
     sink = _pyio.BytesIO()
-    w = CompressedWriter(sink, transform=CHAIN_L2, entropy=ENTROPY_L2,
+    w = CompressedWriter(sink, transform=chain, entropy=entropy,
                          block_size=n, original_size=len(data))
-    t_type = transform_name_to_type(CHAIN_L2)
-    e_type = entropy_name_to_type(ENTROPY_L2)
+    t_type = transform_name_to_type(chain)
+    e_type = entropy_name_to_type(entropy)
 
     states = []
     pos = 0
@@ -656,7 +658,7 @@ def compress_l2_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
         pos += n
         b += 1
 
-    prepare_huffman_batch_mesh(states, mesh)
+    prepare_fn(states, mesh)
     w._write_header()
     for st in states:
         payload, bits = _encode_block_phase2(st)
@@ -666,6 +668,16 @@ def compress_l2_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
     w._obs.close_to_sink()
     w._closed = True
     return sink.getvalue()
+
+
+def compress_l2_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
+    """Full level-2 container: the DNA alias + LZ stages are sequential
+    host byte automata (match-finder hash table evolves with the parse);
+    the Huffman entropy stage is sharded over the mesh in one device
+    call. Byte-identical to the host writer."""
+    return _compress_host_chain_mesh(data, block_size, mesh, CHAIN_L2,
+                                     ENTROPY_L2,
+                                     prepare_huffman_batch_mesh)
 
 
 def _parse_huffman_block(payload: bytes, bits: int, block_size: int, ctx):
@@ -780,4 +792,209 @@ def decompress_l2_mesh(blob: bytes, mesh=None) -> bytes:
         transform = new_transform(bctx, r.transform_type)
         transform.skip_flags = skip_flags
         out += np.asarray(transform.inverse(ebuf)).tobytes()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Level-3 chain (TEXT+UTF+PACK+MM+LZX & HUFFMAN): host byte automata +
+# mesh Huffman entropy — the reference's default level
+# (src/app/BlockCompressor.cpp:556-613). Same division of labor as l2.
+# ---------------------------------------------------------------------------
+
+CHAIN_L3 = "TEXT+UTF+PACK+MM+LZX"
+ENTROPY_L3 = "HUFFMAN"
+
+
+def compress_l3_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
+    """Full level-3 (default level) container: TEXT/UTF/PACK/MM/LZX run
+    as host byte automata per block; the Huffman entropy stage for all
+    blocks is one sharded device call. Byte-identical to the host
+    writer."""
+    return _compress_host_chain_mesh(data, block_size, mesh, CHAIN_L3,
+                                     ENTROPY_L3,
+                                     prepare_huffman_batch_mesh)
+
+
+def decompress_l3_mesh(blob: bytes, mesh=None) -> bytes:
+    """Level-3 container decode: the Huffman entropy stage is batched
+    across blocks in one sharded call; the inverse transform chain runs
+    on host per block (the block header's transform ids drive it, so
+    the l2 decoder body is chain-agnostic)."""
+    return decompress_l2_mesh(blob, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Level-6 chain (TEXT+UTF+BWT+SRT+ZRLT & FPAQ): host transforms + mesh
+# FPAQ entropy via the lockstep jnp coder (ops/fpaq_jnp.py) — one
+# stream per block, the binary-coder analog of the reference's
+# one-EncodingTask-per-block parallelism.
+# ---------------------------------------------------------------------------
+
+CHAIN_L6 = "TEXT+UTF+BWT+SRT+ZRLT"
+ENTROPY_L6 = "FPAQ"
+
+
+def prepare_fpaq_batch_mesh(states: list, mesh) -> None:
+    """Mesh-sharded variant of compressed_stream.prepare_fpaq_batch:
+    every eligible block's post-transform bytes become one lockstep
+    FPAQ stream; all streams advance together in one sharded device
+    call. Framing (per-chunk varint + payload + boundary low56) happens
+    host-side from the per-chunk word counts, exactly like the
+    device-kernel path."""
+    from kanzi_tpu.io.compressed_stream import (COPY_BLOCK_MASK,
+                                                FPAQ_CHUNK, FPAQ_TYPE)
+    from kanzi_tpu.parallel.mesh import shard_fpaq_encode
+
+    elig = [st for st in states
+            if st["e_type"] == FPAQ_TYPE
+            and not (st["mode"] & COPY_BLOCK_MASK)
+            and st["post_len"] > 0]
+    if not elig:
+        return
+    cap = max(st["post_len"] for st in elig)
+    streams = np.zeros((len(elig), cap), np.uint8)
+    lens = np.zeros(len(elig), np.int32)
+    for i, st in enumerate(elig):
+        n = st["post_len"]
+        streams[i, :n] = st["out"][:n]
+        lens[i] = n
+    bufs, low56, ovf, cw, clow = shard_fpaq_encode(
+        streams, lens, mesh, chunk_bytes=FPAQ_CHUNK)
+    for i, st in enumerate(elig):
+        if ovf[i]:
+            continue                      # host re-encodes this block
+        nchunks = -(-int(lens[i]) // FPAQ_CHUNK)
+        chunk_bufs, bound_lows = [], []
+        prev = 0
+        for k in range(nchunks):
+            w_end = int(cw[i, k])
+            chunk_bufs.append(bufs[i][4 * prev:4 * w_end])
+            prev = w_end
+            if k + 1 < nchunks:
+                bound_lows.append(int(clow[i, k]))
+        st["prepared_entropy"] = (chunk_bufs, bound_lows, int(low56[i]))
+
+
+def compress_l6_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
+    """Full level-6 container: TEXT/UTF/BWT/SRT/ZRLT run as host byte
+    automata per block; the FPAQ entropy stage for all blocks is one
+    sharded lockstep device call. Byte-identical to the host writer."""
+    return _compress_host_chain_mesh(data, block_size, mesh, CHAIN_L6,
+                                     ENTROPY_L6, prepare_fpaq_batch_mesh)
+
+
+def _parse_fpaq_block(payload: bytes, bits: int, block_size: int):
+    """Host parse of one block's framing + FPAQ chunk records. Returns
+    (pre_len, skip_flags, chunks) with chunks = [(prime56, payload
+    bytes-after-prime)] per FPAQ chunk, or None when the block needs
+    the host path. Framing per chunk (FPAQDecoder.cpp decode): varint
+    size, then 56 bits of primed current, then size bytes — the last 7
+    of which are the next boundary/dispose low."""
+    from kanzi_tpu.bitstream import BitReader
+    from kanzi_tpu.io.compressed_stream import FPAQ_CHUNK
+
+    ibs = BitReader(payload)
+    mode = ibs.read_bits(8)
+    if mode & 0x80:                                   # copy block
+        return None
+    if mode & 0x10:
+        skip_flags = ibs.read_bits(8)
+    else:
+        skip_flags = ((mode << 4) | 0x0F) & 0xFF
+    data_size = 1 + ((mode >> 5) & 0x03)
+    pre_len = ibs.read_bits(8 * data_size)
+    if pre_len <= 32:                                 # raw-bytes path
+        return None
+
+    from kanzi_tpu.entropy import utils as eu
+    chunks = []
+    start = 0
+    while start < pre_len:
+        sz = eu.read_varint(ibs)
+        if sz >= 2 * pre_len:
+            return None
+        prime = ibs.read_bits(56)
+        buf = ibs.read_bytes(sz)
+        chunks.append((prime, buf))
+        start += min(FPAQ_CHUNK, pre_len - start)
+    return pre_len, skip_flags, chunks
+
+
+def decompress_l6_mesh(blob: bytes, mesh=None) -> bytes:
+    """Level-6 container decode: the FPAQ entropy stage is batched
+    ACROSS blocks (one lockstep stream per block) in sharded device
+    calls, chunk index by chunk index; the inverse transform chain
+    (ZRLT/SRT/BWT/UTF/TEXT) runs on host per block."""
+    from kanzi_tpu.io.compressed_stream import (CompressedReader,
+                                                FPAQ_CHUNK, decode_block)
+    from kanzi_tpu.parallel.mesh import shard_fpaq_decode
+    from kanzi_tpu.transform.factory import new_transform
+
+    if mesh is None:
+        mesh = block_mesh()
+    r = CompressedReader(blob)
+    n = r.block_size
+
+    frames = []
+    while True:
+        lr_ = 3 + r.ibs.read_bits(5)
+        bits = r.ibs.read_bits(lr_)
+        if bits == 0:
+            break
+        frames.append((r.ibs.read_payload(bits), bits))
+
+    parsed = []
+    rows = []                            # indexes of mesh-decoded blocks
+    for bi, (payload, bits) in enumerate(frames):
+        p = (None if r.checksum_bits
+             else _parse_fpaq_block(payload, bits, n))
+        parsed.append(p)
+        if p is not None:
+            rows.append(bi)
+
+    block_out = {}
+    if rows:
+        lens = np.array([parsed[bi][0] for bi in rows], np.int64)
+        nch = int(max(-(-int(x) // FPAQ_CHUNK) for x in lens))
+        pays, curs = [], []
+        for k in range(nch):
+            full = []
+            for bi in rows:
+                ch = parsed[bi][2]
+                full.append(ch[k][1] if k < len(ch) else b"")
+            W = max(2, max((len(f) + 3) // 4 for f in full) + 1)
+            pay = np.zeros((len(rows), W), np.uint32)
+            cur = np.zeros(len(rows), np.uint64)
+            for j, bi in enumerate(rows):
+                ch = parsed[bi][2]
+                if k >= len(ch):
+                    continue
+                cur[j] = ch[k][0]
+                rest = full[j] + b"\x00" * 8
+                nw = min(len(rest) // 4, W)
+                pay[j, :nw] = np.frombuffer(rest[:4 * nw], ">u4")
+            pays.append(pay)
+            curs.append(cur)
+        dec = shard_fpaq_decode(pays, curs, lens, mesh,
+                                chunk_bytes=FPAQ_CHUNK)
+        for j, bi in enumerate(rows):
+            block_out[bi] = dec[j, :int(lens[j])]
+
+    out = bytearray()
+    for bi, ((payload, bits), p) in enumerate(zip(frames, parsed)):
+        if p is None:
+            out += np.asarray(
+                decode_block(payload, bits, bi + 1, r.ctx,
+                             r.transform_type, r.entropy_type,
+                             r.block_size, r.checksum_bits)).tobytes()
+            continue
+        pre_len, skip_flags, _chunks = p
+        bctx = r.ctx.copy()
+        bctx.put("blockId", bi + 1)
+        bctx.put("size", pre_len)
+        bctx.put("_decodeCapacity", max(n, (bits + 7) >> 3))
+        transform = new_transform(bctx, r.transform_type)
+        transform.skip_flags = skip_flags
+        out += np.asarray(
+            transform.inverse(block_out[bi].astype(np.uint8))).tobytes()
     return bytes(out)
