@@ -402,6 +402,20 @@ def device_rates(data: bytes, res: dict, flush, soft_deadline=None):
             best = min(best, time.perf_counter() - t0)
         res["ans1_encode_MBps"] = c1 * d1.CHUNK1 / 1e6 / best
 
+    def sec_lz_match():
+        # device LZ match-finding pass (hash + prev-occurrence sort +
+        # capped LCP for every position of a 1 MiB block)
+        from kanzi_tpu.ops import lz as dlz
+        nb = 1 << 20
+        block = np.frombuffer(data[:nb], np.uint8)
+        dlz.lz_match_pass(block, 19)          # compile + warm
+        best = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            dlz.lz_match_pass(block, 19)
+            best = min(best, time.perf_counter() - t0)
+        res["lz_match_pass_MBps"] = nb / 1e6 / best
+
     def sec_bwt():
         # device BWT forward + inverse (sort formulations), one 1 MiB
         # block, staged HBM->HBM (host<->device transfers excluded:
@@ -469,6 +483,7 @@ def device_rates(data: bytes, res: dict, flush, soft_deadline=None):
         ("huffman_decode_MBps", sec_huffman_decode, 40),
         ("huffman_encode_MBps", sec_huffman_encode, 30),
         ("ans1_encode_MBps", sec_ans1_encode, 30),
+        ("lz_match_pass_MBps", sec_lz_match, 30),
         ("bwt", sec_bwt, 60),
         ("l5_chain_MBps", sec_l5_chain, 60),
         ("fpaq_encode_MBps", sec_fpaq, 45),

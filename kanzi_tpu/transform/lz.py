@@ -89,14 +89,31 @@ class LZCodec(ByteTransform):
             return None
         min_match = mm
 
+        # device match-finding pass (opt-in KANZI_TPU_LZ=1): hash +
+        # previous-occurrence + capped LCP for EVERY position in one
+        # device call (ops/lz.py); the stitch below keeps the exact
+        # table/repd/srcInc recurrences, so the output stays
+        # byte-identical to the reference encoder — the device replaces
+        # the byte-compare loops, not the parse decisions.
+        hint_prev = hint_lcp = None
+        hint_cap = 0
+        import os as _os
+
+        import kanzi_tpu.ops as _ops
+        if _ops.ENABLED and _os.environ.get("KANZI_TPU_LZ"):
+            from kanzi_tpu.ops import lz as dlz
+            hint_prev, hint_lcp = dlz.lz_match_pass(src, self.hash_log)
+            hint_cap = dlz.CAP
+
         # native fast path (byte-identical C++ port, native/lzx.cpp)
-        try:
-            from kanzi_tpu.utils import native
-            if native.lzx_available():
-                out = native.lzx_forward(src, self.hash_log, min_match)
-                return None if out is None else out
-        except Exception:
-            pass
+        if hint_prev is None:
+            try:
+                from kanzi_tpu.utils import native
+                if native.lzx_available():
+                    out = native.lzx_forward(src, self.hash_log, min_match)
+                    return None if out is None else out
+            except Exception:
+                pass
 
         data = src.tolist()
         # precompute rolling 8-byte little-endian words -> hashes, vectorized
@@ -124,6 +141,14 @@ class LZCodec(ByteTransform):
             # 8-byte stride compare (LZCodec.hpp:232-248): match length is
             # capped at the last full-stride boundary, like the reference
             n = 0
+            if hint_prev is not None and b == hint_prev[a]:
+                dc = int(hint_lcp[a])
+                fs = (max_match >> 3) << 3
+                if dc < hint_cap:               # exact byte LCP
+                    return dc if dc < fs else fs
+                if fs <= hint_cap:
+                    return fs
+                n = hint_cap                    # >= cap: resume stride loop
             while n + 8 <= max_match:
                 d = wl[a + n] ^ wl[b + n]
                 if d:
