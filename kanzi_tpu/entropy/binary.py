@@ -53,6 +53,11 @@ class BinaryEntropyEncoder(EntropyEncoder):
         count = len(block)
         if count >= MAX_BLOCK_SIZE:
             raise ValueError("Invalid block size parameter (max is 1<<30)")
+        prep = getattr(self, "prepared_device", None)
+        if prep is not None:
+            from kanzi_tpu.entropy.fpaq import emit_prepared
+            self._low = emit_prepared(self.obs, prep)
+            return count
         length = _chunk_length(count)
         data = block.tolist()
         start = 0

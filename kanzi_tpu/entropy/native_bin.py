@@ -62,7 +62,11 @@ class NativeBinEncoder(EntropyEncoder):
         if count >= MAX_BLOCK_SIZE:
             raise ValueError("Invalid block size parameter (max is 1<<30)")
         prep = getattr(self, "prepared_device", None)
-        if prep is not None and self.kind == KIND_FPAQ:
+        if prep is not None:
+            # device-prepared payload: (chunk_bufs, boundary_lows,
+            # final_low) — the framing (varint + payload + inter-chunk
+            # low56) is identical for every binary coder, the producer
+            # guarantees chunk boundaries match this kind's chunk size
             from kanzi_tpu.entropy.fpaq import emit_prepared
             self._final_low = emit_prepared(self.obs, prep)
             return count

@@ -228,6 +228,67 @@ def shard_fpaq_decode(chunk_payloads, chunk_currents, lens: np.ndarray,
     return out[:b]
 
 
+@lru_cache(maxsize=8)
+def _sharded_cm_encode(mesh: Mesh, b: int, L: int, bsv: int):
+    from kanzi_tpu.ops import cm_jnp as dcm
+    spec = NamedSharding(mesh, P(AXIS))
+    return jax.jit(dcm._build_encode(b, L, bsv),
+                   in_shardings=(spec, spec),
+                   out_shardings=(spec,) * 4)
+
+
+def shard_cm_encode(streams: np.ndarray, lens: np.ndarray,
+                    mesh: Mesh | None = None, bs_version: int = 6):
+    """CM-encode [b, L] single-chunk streams (one per block) sharded
+    across the mesh. Same contract as ops.cm_jnp.cm_encode_batch."""
+    from kanzi_tpu.ops import cm_jnp as dcm
+    if mesh is None:
+        mesh = block_mesh()
+    n = mesh.devices.size
+    b, L = streams.shape
+    bp = _pad_to(b, n)
+    if bp != b:
+        streams = np.concatenate(
+            [streams, np.zeros((bp - b, L), np.uint8)])
+        lens = np.concatenate([lens, np.zeros(bp - b, lens.dtype)])
+    out = dcm.cm_encode_batch(
+        streams, lens, bs_version,
+        jit_fn=_sharded_cm_encode(mesh, bp, L, bs_version))
+    return out[0][:b], out[1][:b], out[2][:b]
+
+
+@lru_cache(maxsize=8)
+def _sharded_cm_decode(mesh: Mesh, b: int, L: int, W: int, bsv: int):
+    from kanzi_tpu.ops import cm_jnp as dcm
+    spec = NamedSharding(mesh, P(AXIS))
+    return jax.jit(dcm._build_decode(b, L, W, bsv),
+                   in_shardings=(spec,) * 4, out_shardings=spec)
+
+
+def shard_cm_decode(payload: np.ndarray, currents: np.ndarray,
+                    lens: np.ndarray, mesh: Mesh | None = None,
+                    bs_version: int = 6):
+    """CM-decode b single-chunk streams sharded across the mesh."""
+    from kanzi_tpu.ops import cm_jnp as dcm
+    if mesh is None:
+        mesh = block_mesh()
+    n = mesh.devices.size
+    b = lens.shape[0]
+    bp = _pad_to(b, n)
+    if bp != b:
+        pad = bp - b
+        payload = np.concatenate(
+            [payload, np.zeros((pad, payload.shape[1]), payload.dtype)])
+        currents = np.concatenate([currents, np.zeros(pad, currents.dtype)])
+        lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+    L = int(lens.max())
+    out = dcm.cm_decode_batch(
+        payload, currents, lens, bs_version,
+        jit_fn=_sharded_cm_decode(mesh, bp, L, payload.shape[1],
+                                  bs_version))
+    return out[:b]
+
+
 def shard_ans0_decode(freqs: np.ndarray, states: np.ndarray,
                       payload: np.ndarray, mesh: Mesh | None = None):
     """Decode sharded; same padding contract as shard_ans0_encode."""

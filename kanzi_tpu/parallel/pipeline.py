@@ -998,3 +998,143 @@ def decompress_l6_mesh(blob: bytes, mesh=None) -> bytes:
         out += np.asarray(
             transform.inverse(block_out[bi].astype(np.uint8))).tobytes()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Level-7 chain (LZP+TEXT+UTF+BWT+LZP & CM): host transforms + mesh CM
+# entropy via the lockstep jnp coder (ops/cm_jnp.py) — the context-
+# mixing analog of the l6 FPAQ stage.
+# ---------------------------------------------------------------------------
+
+CHAIN_L7 = "LZP+TEXT+UTF+BWT+LZP"
+ENTROPY_L7 = "CM"
+CM_TYPE = 6
+
+
+def prepare_cm_batch_mesh(states: list, mesh) -> None:
+    """Mesh-sharded CM entropy stage: every eligible block's post-
+    transform bytes become one lockstep stream (single CM chunk —
+    blocks < 2^26 bytes, which covers every l7 block size)."""
+    from kanzi_tpu.io.compressed_stream import COPY_BLOCK_MASK
+    from kanzi_tpu.parallel.mesh import shard_cm_encode
+
+    elig = [st for st in states
+            if st["e_type"] == CM_TYPE
+            and not (st["mode"] & COPY_BLOCK_MASK)
+            and 0 < st["post_len"] < (1 << 26)]
+    if not elig:
+        return
+    cap = max(st["post_len"] for st in elig)
+    streams = np.zeros((len(elig), cap), np.uint8)
+    lens = np.zeros(len(elig), np.int32)
+    for i, st in enumerate(elig):
+        n = st["post_len"]
+        streams[i, :n] = st["out"][:n]
+        lens[i] = n
+    bufs, low56, ovf = shard_cm_encode(streams, lens, mesh, bs_version=6)
+    for i, st in enumerate(elig):
+        if ovf[i]:
+            continue                      # host re-encodes this block
+        st["prepared_entropy"] = ([bufs[i]], [], int(low56[i]))
+
+
+def compress_l7_mesh(data: bytes, block_size: int, mesh=None) -> bytes:
+    """Full level-7 container: LZP/TEXT/UTF/BWT/LZP run as host byte
+    automata per block; the CM entropy stage for all blocks is one
+    sharded lockstep device call. Byte-identical to the host writer."""
+    return _compress_host_chain_mesh(data, block_size, mesh, CHAIN_L7,
+                                     ENTROPY_L7, prepare_cm_batch_mesh)
+
+
+def _parse_cm_block(payload: bytes, bits: int, block_size: int):
+    """Host parse of one block's framing + the single CM chunk record.
+    Returns (pre_len, skip_flags, prime56, payload-after-prime) or None
+    for blocks the host path must handle (copy/raw/multi-chunk)."""
+    from kanzi_tpu.bitstream import BitReader
+    from kanzi_tpu.entropy import utils as eu
+
+    ibs = BitReader(payload)
+    mode = ibs.read_bits(8)
+    if mode & 0x80:                                   # copy block
+        return None
+    if mode & 0x10:
+        skip_flags = ibs.read_bits(8)
+    else:
+        skip_flags = ((mode << 4) | 0x0F) & 0xFF
+    data_size = 1 + ((mode >> 5) & 0x03)
+    pre_len = ibs.read_bits(8 * data_size)
+    if pre_len <= 32 or pre_len >= (1 << 26):
+        return None
+    sz = eu.read_varint(ibs)
+    if sz > min(pre_len << 5, (1 << 32) >> 3):
+        return None
+    prime = ibs.read_bits(56)
+    buf = ibs.read_bytes(sz)
+    return pre_len, skip_flags, prime, buf
+
+
+def decompress_l7_mesh(blob: bytes, mesh=None) -> bytes:
+    """Level-7 container decode: the CM entropy stage is batched ACROSS
+    blocks in one sharded lockstep call; the inverse transform chain
+    (LZP/BWT/UTF/TEXT/LZP) runs on host per block."""
+    from kanzi_tpu.io.compressed_stream import (CompressedReader,
+                                                decode_block)
+    from kanzi_tpu.parallel.mesh import shard_cm_decode
+    from kanzi_tpu.transform.factory import new_transform
+
+    if mesh is None:
+        mesh = block_mesh()
+    r = CompressedReader(blob)
+    n = r.block_size
+
+    frames = []
+    while True:
+        lr_ = 3 + r.ibs.read_bits(5)
+        bits = r.ibs.read_bits(lr_)
+        if bits == 0:
+            break
+        frames.append((r.ibs.read_payload(bits), bits))
+
+    parsed = []
+    rows = []
+    for bi, (payload, bits) in enumerate(frames):
+        p = (None if r.checksum_bits
+             else _parse_cm_block(payload, bits, n))
+        parsed.append(p)
+        if p is not None:
+            rows.append(bi)
+
+    block_out = {}
+    if rows:
+        lens = np.array([parsed[bi][0] for bi in rows], np.int64)
+        full = [parsed[bi][3] + b"" for bi in rows]
+        W = max(2, max((len(f) + 3) // 4 for f in full) + 1)
+        pay = np.zeros((len(rows), W), np.uint32)
+        cur = np.zeros(len(rows), np.uint64)
+        for j, bi in enumerate(rows):
+            cur[j] = parsed[bi][2]
+            rest = full[j] + b"\x00" * 8
+            nw = min(len(rest) // 4, W)
+            pay[j, :nw] = np.frombuffer(rest[:4 * nw], ">u4")
+        dec = shard_cm_decode(pay, cur, lens, mesh, bs_version=6)
+        for j, bi in enumerate(rows):
+            block_out[bi] = dec[j, :int(lens[j])]
+
+    out = bytearray()
+    for bi, ((payload, bits), p) in enumerate(zip(frames, parsed)):
+        if p is None:
+            out += np.asarray(
+                decode_block(payload, bits, bi + 1, r.ctx,
+                             r.transform_type, r.entropy_type,
+                             r.block_size, r.checksum_bits)).tobytes()
+            continue
+        pre_len, skip_flags, _prime, _buf = p
+        bctx = r.ctx.copy()
+        bctx.put("blockId", bi + 1)
+        bctx.put("size", pre_len)
+        bctx.put("_decodeCapacity", max(n, (bits + 7) >> 3))
+        transform = new_transform(bctx, r.transform_type)
+        transform.skip_flags = skip_flags
+        out += np.asarray(
+            transform.inverse(block_out[bi].astype(np.uint8))).tobytes()
+    return bytes(out)

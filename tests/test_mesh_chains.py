@@ -42,18 +42,21 @@ def _golden(data, chain, entropy, n):
 
 
 @pytest.mark.timeout(600)
-@pytest.mark.parametrize("level", ["l3", "l6"])
+@pytest.mark.parametrize("level", ["l3", "l6", "l7"])
 def test_mesh_chain_byte_identity(level):
     from kanzi_tpu.parallel import pipeline as pp
     from kanzi_tpu.parallel.mesh import block_mesh
 
     mesh = block_mesh()
     rng = np.random.default_rng(31)
-    n = 16384
-    data = _mixed(rng, n, 5)
+    n = 4096 if level == "l7" else 16384
+    data = _mixed(rng, n, 3 if level == "l7" else 5)
     if level == "l3":
         cm, dm = pp.compress_l3_mesh, pp.decompress_l3_mesh
         chain, entropy = pp.CHAIN_L3, pp.ENTROPY_L3
+    elif level == "l7":
+        cm, dm = pp.compress_l7_mesh, pp.decompress_l7_mesh
+        chain, entropy = pp.CHAIN_L7, pp.ENTROPY_L7
     else:
         cm, dm = pp.compress_l6_mesh, pp.decompress_l6_mesh
         chain, entropy = pp.CHAIN_L6, pp.ENTROPY_L6

@@ -21,7 +21,7 @@ print("MULTICHIP-8-OK")
 """
 
 
-@pytest.mark.timeout(600)
+@pytest.mark.timeout(1000)
 def test_dryrun_multichip_8_cpu_devices():
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -30,6 +30,6 @@ def test_dryrun_multichip_8_cpu_devices():
                         + " --xla_force_host_platform_device_count=8").strip()
     env["PYTHONPATH"] = REPO
     r = subprocess.run([sys.executable, "-c", _SCRIPT], env=env, cwd=REPO,
-                       capture_output=True, text=True, timeout=590)
+                       capture_output=True, text=True, timeout=980)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "MULTICHIP-8-OK" in r.stdout
