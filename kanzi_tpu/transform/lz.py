@@ -101,9 +101,14 @@ class LZCodec(ByteTransform):
 
         import kanzi_tpu.ops as _ops
         if _ops.ENABLED and _os.environ.get("KANZI_TPU_LZ"):
-            from kanzi_tpu.ops import lz as dlz
-            hint_prev, hint_lcp = dlz.lz_match_pass(src, self.hash_log)
-            hint_cap = dlz.CAP
+            try:
+                from kanzi_tpu.ops import lz as dlz
+                hint_prev, hint_lcp = dlz.lz_match_pass(src, self.hash_log)
+                hint_cap = dlz.CAP
+            except Exception:                 # device down: host path
+                if _os.environ.get("KANZI_TPU_STRICT_DEVICE"):
+                    raise
+                hint_prev = hint_lcp = None
 
         # native fast path (byte-identical C++ port, native/lzx.cpp)
         if hint_prev is None:
