@@ -52,21 +52,6 @@ def _alloc_bytes_buffer(n: int):
         ptr = ctypes.cast(ctypes.c_char_p(result),
                           ctypes.POINTER(ctypes.c_uint8))
         view = np.ctypeslib.as_array(ptr, shape=(n,))
-        if n >= (8 << 20):
-            # best-effort THP on the 2 MiB-aligned interior: the decode
-            # inverse writes the whole buffer, and first-touch faults on
-            # 4 KiB pages cost ~10 ms per 64 MB (same motivation as
-            # native/hugebuf.h for the TPAQ/SA tables)
-            try:
-                addr = ctypes.addressof(ptr.contents)
-                a0 = (addr + (2 << 20) - 1) & ~((2 << 20) - 1)
-                a1 = (addr + n) & ~((2 << 20) - 1)
-                if a1 > a0:
-                    libc = ctypes.CDLL(None, use_errno=False)
-                    libc.madvise(ctypes.c_void_p(a0),
-                                 ctypes.c_size_t(a1 - a0), 14)  # HUGEPAGE
-            except Exception:
-                pass
         return result, view
     except Exception:                         # non-CPython fallback
         view = np.empty(n, np.uint8)
