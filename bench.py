@@ -485,8 +485,11 @@ def device_rates(data: bytes, res: dict, flush, soft_deadline=None):
         ("ans1_encode_MBps", sec_ans1_encode, 30),
         ("lz_match_pass_MBps", sec_lz_match, 30),
         ("bwt", sec_bwt, 60),
-        ("l5_chain_MBps", sec_l5_chain, 60),
         ("fpaq_encode_MBps", sec_fpaq, 45),
+        # LAST: this program has never compiled through the axon
+        # tunnel (deep XLA lowering failure under investigation); the
+        # journaled sections above survive if it eats the child budget
+        ("l5_chain_MBps", sec_l5_chain, 120),
     ]
     for key, fn, min_s in sections:
         if left() < min_s:
