@@ -58,10 +58,12 @@ def _sbrt_kernel(mode_consts, inverse, in_ref, len_ref, out_ref,
 
     def word_body(t4, carry):
         tile_out, = carry
-        slab = in_ref[:, pl.ds(pl.multiple_of((t4 >> 5) * 32, 32), 32)]
-        slab128 = pltpu.repeat(slab, 4, axis=1)   # [col] = slab[col % 32]
+        # 128-aligned slab: Mosaic requires lane-dim vector loads at
+        # provable multiples of 128 (a 32-aligned 32-wide ds dies with
+        # "cannot statically prove that index ... is a multiple of 128")
+        slab = in_ref[:, pl.ds(pl.multiple_of((t4 >> 7) * 128, 128), 128)]
         wrd = jnp.take_along_axis(
-            slab128, jnp.zeros((G, 128), jnp.int32) + (t4 & 31),
+            slab, jnp.zeros((G, 128), jnp.int32) + (t4 & 127),
             axis=1).astype(jnp.uint32)
         for b4 in range(4):
             ranks = rk_ref[:, :]
