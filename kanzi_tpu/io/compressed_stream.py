@@ -283,7 +283,7 @@ def prepare_fpaq_batch(states: list) -> None:
     TPU (ops/fpaq.py), HBM->HBM, byte-identical with the scalar coder.
 
     Opt-in via KANZI_TPU_FPAQ=1: the 64-stream kernel currently sustains
-    ~5 MB/s (it drives only 8 of the VPU's 128 lanes — see ops/fpaq.py),
+    ~8.5 MB/s (it drives only 8 of the VPU's 128 lanes — see ops/fpaq.py),
     below the native host coder, so it is not the default product path.
     Reference parallel model: one EncodingTask per block
     (src/io/CompressedOutputStream.cpp:476-540); coder:

@@ -32,6 +32,15 @@ its table candidate coincides with ``prev`` (the common case, since
 the reference inserts every covered position), eliminating the
 byte-compare loops that dominate the host parse. Output stays
 byte-identical to the reference encoder; tests assert it.
+
+Measured reality (TPU v5e, bench.py): ~2 MB/s for the full pass on a
+1 MiB block — the 32 random 1M-wide gathers of the LCP stage dominate
+(TPU gathers run far below memory speed), so the device pass is
+currently SLOWER than the native host match finder and stays an
+opt-in demonstrator of the formulation (KANZI_TPU_LZ=1), not the
+product path. A competitive version needs the LCP folded into the
+sort (e.g. key = 8-byte window, neighbor-compare in sorted order),
+trading exact hash-chain semantics for post-hoc verification.
 """
 
 from __future__ import annotations
