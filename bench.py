@@ -470,10 +470,12 @@ def device_rates(data: bytes, res: dict, flush, soft_deadline=None):
             dfp.NS, Lf)
         flens = np.full(dfp.NS, Lf, np.int32)
         dfp.fpaq_encode_batch(fstreams, flens)     # compile + warm
-        t0 = time.perf_counter()
-        dfp.fpaq_encode_batch(fstreams, flens)
-        res["fpaq_encode_MBps"] = dfp.NS * Lf / 1e6 / (
-            time.perf_counter() - t0)
+        best = float("inf")
+        for _i in range(2):
+            t0 = time.perf_counter()
+            dfp.fpaq_encode_batch(fstreams, flens)
+            best = min(best, time.perf_counter() - t0)
+        res["fpaq_encode_MBps"] = dfp.NS * Lf / 1e6 / best
 
     # ordered by (headline first, then importance / compile cost);
     # min_s = minimum believable budget for a cold compile + 3 reps
